@@ -1,0 +1,244 @@
+"""Distance -> probability kernels.
+
+Reference: sph/utils/GraphNormalization.cpp — Gaussian (t-SNE, perplexity beta
+binary search with tiny-sigma fallbacks, :38-338), linear (1/(1+d), :340-411)
+and exponential (UMAP smooth-knn via umappp::neighbor_similarities, :413-593);
+the core beta search is HDILibHelper.hpp:23-109.
+
+TPU-first design: the per-row binary search becomes one vectorized
+`lax.while_loop` over *all* rows simultaneously — each iteration is a handful
+of [N, K] VPU ops, so the 200-iteration search costs microseconds instead of
+the reference's per-row scalar loops.
+
+Row layout: `values [N, K]` with a parallel `mask [N, K]` (True = valid entry).
+`ignore_first=True` excludes column 0 (the self edge) like the reference's
+ignore-index-0 mode; `ignore_first=False` matches ignore == -1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MIN_SIGMA = 0.001     # reference: GraphNormalization.cpp:96,249
+_MIN_VAL = 1.0e-10     # values below are dropped (GraphNormalization.cpp:133)
+
+
+@functools.partial(jax.jit, static_argnames=("ignore_first", "max_iter"))
+def gaussian_row_distributions(values: jax.Array, mask: jax.Array,
+                               perplexity: jax.Array,
+                               ignore_first: bool = True,
+                               max_iter: int = 200,
+                               tol: float = 1e-6) -> jax.Array:
+    """Per-row Gaussian kernel with fixed perplexity.
+
+    values: [N, K] distances (or distance-like similarities), mask: [N, K].
+    perplexity: scalar or [N]; <= 0 means "use (row_size)/3" like the
+    reference's fixedPerplexity<=0 branch (GraphNormalization.cpp:75-79 uses
+    nn/3 for in-place rows and (nn-1)/3 for graph rows — here row_size already
+    excludes the ignored column).
+
+    Returns probabilities [N, K] with each valid row summing to 1 (ignored /
+    masked columns are 0).  Implements the exact HDILib search: beta=1 start,
+    doubling/halving until bracketed then bisection, entropy tolerance 1e-6,
+    uniform fallback when not converged, and the tiny-sigma fallback chain
+    (copy distances -> unit-normalize -> invert -> renormalize).
+    """
+    n, k = values.shape
+    eff_mask = mask
+    if ignore_first:
+        col0 = jax.lax.broadcasted_iota(jnp.int32, (n, k), 1) == 0
+        eff_mask = jnp.logical_and(mask, ~col0)
+
+    row_sizes = jnp.sum(eff_mask, axis=1).astype(jnp.float32)   # [N]
+    perplexity = jnp.broadcast_to(jnp.asarray(perplexity, jnp.float32), (n,))
+    perplexity = jnp.where(perplexity > 0, perplexity,
+                           jnp.maximum(row_sizes / 3.0, 1.0))
+    log_perp = jnp.log(perplexity)
+
+    vals = jnp.where(eff_mask, values, 0.0).astype(jnp.float32)
+
+    big = jnp.float32(np.finfo(np.float32).max)
+
+    def cond(state):
+        it, beta, lo, hi, found = state[:5]
+        return jnp.logical_and(it < max_iter, ~jnp.all(found))
+
+    def body(state):
+        it, beta, lo, hi, found, _ = state
+        # unnormalized kernel row
+        p = jnp.where(eff_mask, jnp.exp(-beta[:, None] * vals), 0.0)
+        s = jnp.sum(p, axis=1) + jnp.float32(np.finfo(np.float64).tiny)
+        h = jnp.sum(p * vals, axis=1) * beta / s + jnp.log(s)
+        hdiff = h - log_perp
+        ok = jnp.abs(hdiff) < tol
+        new_found = jnp.logical_or(found, ok)
+
+        go_up = hdiff > 0
+        new_lo = jnp.where(go_up, beta, lo)
+        new_hi = jnp.where(go_up, hi, beta)
+        beta_up = jnp.where(jnp.abs(hi) >= big, beta * 2.0,
+                            (beta + hi) / 2.0)
+        beta_dn = jnp.where(jnp.abs(lo) >= big, beta / 2.0,
+                            (beta + lo) / 2.0)
+        new_beta = jnp.where(go_up, beta_up, beta_dn)
+        new_beta = jnp.where(new_found, beta, new_beta)
+        new_lo = jnp.where(new_found, lo, new_lo)
+        new_hi = jnp.where(new_found, hi, new_hi)
+        return (it + 1, new_beta, new_lo, new_hi, new_found, beta)
+
+    init = (jnp.int32(0), jnp.ones(n, jnp.float32),
+            jnp.full(n, -big), jnp.full(n, big),
+            jnp.zeros(n, jnp.bool_), jnp.ones(n, jnp.float32))
+    _, beta, _, _, found, _ = jax.lax.while_loop(cond, body, init)
+
+    p = jnp.where(eff_mask, jnp.exp(-beta[:, None] * vals), 0.0)
+    s = jnp.sum(p, axis=1)
+    prob = jnp.where(s[:, None] > 0, p / jnp.maximum(s, 1e-38)[:, None], 0.0)
+
+    # not-found -> uniform over valid entries (HDILibHelper.hpp:98-104)
+    uniform = jnp.where(eff_mask,
+                        1.0 / jnp.maximum(row_sizes, 1.0)[:, None], 0.0)
+    prob = jnp.where(found[:, None], prob, uniform)
+
+    sigma = jnp.where(found, jnp.sqrt(1.0 / (2.0 * jnp.maximum(beta, 1e-38))),
+                      0.0)
+
+    # tiny-sigma fallback chain (GraphNormalization.cpp:96-130):
+    #   copy distances; all-zero -> uniform; else unit-normalize, invert
+    #   (1 - x); all-zero again -> uniform; else zero the ignored slot and
+    #   renormalize.
+    degenerate = sigma < _MIN_SIGMA
+    dsum = jnp.sum(vals, axis=1)
+    all_zero = dsum == 0.0
+    fb = jnp.where(eff_mask, vals / jnp.maximum(dsum, 1e-38)[:, None], 0.0)
+    fb = jnp.where(eff_mask, 1.0 - fb, 0.0)
+    fb_sum = jnp.sum(fb, axis=1)
+    fb_zero = fb_sum == 0.0
+    fb = jnp.where(eff_mask, fb / jnp.maximum(fb_sum, 1e-38)[:, None], 0.0)
+    fallback = jnp.where((all_zero | fb_zero)[:, None], uniform, fb)
+    prob = jnp.where(degenerate[:, None], fallback, prob)
+
+    # drop numerically-zero entries (GraphNormalization.cpp minVal 1e-10)
+    prob = jnp.where(prob < _MIN_VAL, 0.0, prob)
+
+    # rows with <= 1 entries keep their input untouched in the reference
+    # (GraphNormalization.cpp:72-73); here: single valid entry -> prob 1
+    single = row_sizes <= 1
+    one_entry = jnp.where(eff_mask, 1.0, 0.0)
+    prob = jnp.where(single[:, None] & (row_sizes[:, None] > 0),
+                     one_entry, prob)
+    return prob
+
+
+@jax.jit
+def linear_row_distributions(values: jax.Array, mask: jax.Array,
+                             ) -> jax.Array:
+    """1/(1+d) then row-normalize (reference: computeLinearDistributions,
+    GraphNormalization.cpp:340-411).  Column 0 (self) must already be masked
+    out by the caller if desired."""
+    p = jnp.where(mask, 1.0 / (1.0 + values), 0.0)
+    s = jnp.sum(p, axis=1, keepdims=True)
+    return jnp.where(s > 0, p / jnp.maximum(s, 1e-38), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def smooth_knn_distributions(values: jax.Array, mask: jax.Array,
+                             local_connectivity: float = 1.0,
+                             bandwidth: float = 1.0,
+                             max_iter: int = 64) -> jax.Array:
+    """UMAP exponential kernel (reference: computeExponentialDistributions
+    wrapping umappp::neighbor_similarities, GraphNormalization.cpp:413-593).
+
+    Implements the smooth-knn-dist algorithm of the UMAP paper (the same
+    algorithm umappp uses): per row, rho = distance to the
+    `local_connectivity`-th nearest neighbor (with interpolation), then binary
+    search sigma such that sum_j exp(-(max(0, d_j - rho)) / sigma) =
+    log2(k) * bandwidth.  Returns similarities in (0, 1]; NOT row-normalized
+    (UMAP memberships are not probabilities).
+    """
+    n, k = values.shape
+    vals = jnp.where(mask, values, jnp.inf).astype(jnp.float32)
+    counts = jnp.sum(mask, axis=1).astype(jnp.float32)
+
+    sorted_vals = jnp.sort(vals, axis=1)
+    nonzero = jnp.where(jnp.isfinite(sorted_vals) & (sorted_vals > 0),
+                        sorted_vals, jnp.inf)
+    nz_sorted = jnp.sort(nonzero, axis=1)
+    num_nonzero = jnp.sum(jnp.isfinite(nonzero), axis=1)
+
+    # rho: interpolated local_connectivity-th smallest nonzero distance
+    lc = jnp.float32(local_connectivity)
+    idx_lo = jnp.clip(jnp.int32(jnp.floor(lc)) - 1, 0, k - 1)
+    frac = lc - jnp.floor(lc)
+    lo_val = nz_sorted[:, idx_lo]
+    hi_val = nz_sorted[jnp.arange(n), jnp.clip(idx_lo + 1, 0, k - 1)]
+    rho = jnp.where(frac > 0, lo_val + frac * (hi_val - lo_val), lo_val)
+    # fewer nonzero distances than local_connectivity: rho = max nonzero
+    # (umap-learn smooth_knn_dist fallback)
+    max_nz = jnp.max(jnp.where(jnp.isfinite(nonzero), nonzero, 0.0), axis=1)
+    rho = jnp.where(num_nonzero >= jnp.ceil(lc), rho,
+                    jnp.where(num_nonzero > 0, max_nz, 0.0))
+    rho = jnp.where(jnp.isfinite(rho), rho, 0.0)
+
+    target = jnp.log2(jnp.maximum(counts, 2.0)) * bandwidth
+
+    def psum(sigma):
+        d = jnp.maximum(values - rho[:, None], 0.0)
+        p = jnp.where(mask, jnp.exp(-d / sigma[:, None]), 0.0)
+        return jnp.sum(p, axis=1)
+
+    def body(state, _):
+        sigma, lo, hi = state
+        cur = psum(sigma)
+        too_big = cur > target
+        new_hi = jnp.where(too_big, sigma, hi)
+        new_lo = jnp.where(too_big, lo, sigma)
+        new_sigma = jnp.where(
+            too_big, (sigma + lo) / 2.0,
+            jnp.where(jnp.isinf(hi), sigma * 2.0, (sigma + hi) / 2.0))
+        return (new_sigma, new_lo, new_hi), None
+
+    init = (jnp.ones(n, jnp.float32), jnp.zeros(n, jnp.float32),
+            jnp.full(n, jnp.inf, jnp.float32))
+    (sigma, _, _), _ = jax.lax.scan(body, init, None, length=max_iter)
+
+    # umap-learn clamps sigma from below relative to mean distances
+    mean_d = jnp.sum(jnp.where(mask, values, 0.0), axis=1) / jnp.maximum(
+        counts, 1.0)
+    sigma = jnp.maximum(sigma, 1e-3 * jnp.maximum(mean_d, 1e-12))
+
+    d = jnp.maximum(values - rho[:, None], 0.0)
+    sims = jnp.where(mask, jnp.exp(-d / sigma[:, None]), 0.0)
+    return sims
+
+
+def normalize_knn_distances(distances: np.ndarray, scheme,
+                            perplexity: float = -1.0) -> np.ndarray:
+    """Dispatcher over a fixed-k kNN graph's distance rows (reference:
+    normalizeKnnDistances, GraphNormalization.hpp:36-53).  Column 0 is the
+    self edge and is excluded; returns [N, K] probabilities with column 0 == 0.
+    """
+    from ..settings import NormalizationScheme
+
+    d = jnp.asarray(distances, jnp.float32)
+    mask = jnp.ones_like(d, dtype=bool)
+    if scheme == NormalizationScheme.TSNE:
+        p = gaussian_row_distributions(d, mask, jnp.float32(perplexity),
+                                       ignore_first=True)
+    elif scheme == NormalizationScheme.LINEAR:
+        n, k = d.shape
+        m2 = mask & (jax.lax.broadcasted_iota(jnp.int32, (n, k), 1) > 0)
+        p = linear_row_distributions(d, m2)
+    elif scheme == NormalizationScheme.UMAP:
+        n, k = d.shape
+        m2 = mask & (jax.lax.broadcasted_iota(jnp.int32, (n, k), 1) > 0)
+        p = smooth_knn_distributions(d, m2)
+    elif scheme == NormalizationScheme.NONE:
+        p = d.at[:, 0].set(0.0)
+    else:
+        raise ValueError(f"unknown scheme {scheme}")
+    return np.asarray(p)

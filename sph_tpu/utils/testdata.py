@@ -1,0 +1,90 @@
+"""Seeded synthetic data generators (reference: sph/utils/TestData.hpp:15-24,
+TestData.cpp — swiss roll, S-curve, 3D gaussians, uniform random).  All
+generators are numpy-based and deterministic given the seed; colors follow the
+same scalar used by the reference (distance along the manifold parameter)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def create_random_data(d: int = 64, nb: int = 100_000,
+                       seed: int = 0) -> np.ndarray:
+    """Uniform random points in [0, 1]^d, shape [nb, d] float32."""
+    rng = np.random.default_rng(seed)
+    return rng.random((nb, d), dtype=np.float32)
+
+
+def create_swiss_roll(n_samples: int = 1500, noise: float = 0.0,
+                      random_state: int = 1234):
+    """Swiss roll (reference: TestData.cpp createSwissRole).
+
+    Returns (positions [n, 3] float32, t [n] float32) where t is the manifold
+    parameter (used for coloring by the reference vis).
+    """
+    rng = np.random.default_rng(random_state)
+    t = 1.5 * np.pi * (1.0 + 2.0 * rng.random(n_samples, dtype=np.float32))
+    z = 21.0 * rng.random(n_samples, dtype=np.float32)
+    pos = np.stack([t * np.cos(t), t * np.sin(t), z], axis=1)
+    if noise != 0.0:
+        pos = pos + noise * rng.standard_normal(pos.shape, dtype=np.float32)
+    return pos.astype(np.float32), t.astype(np.float32)
+
+
+def create_s_curve(n_samples: int = 1500, noise: float = 0.0,
+                   random_state: int = 1234):
+    """S-curve (reference: TestData.cpp createSCurve)."""
+    rng = np.random.default_rng(random_state)
+    t = 3.0 * np.pi * (rng.random(n_samples, dtype=np.float32) - 0.5)
+    x = np.sin(t)
+    y = np.sign(t) * (np.cos(t) - 1.0)
+    z = 2.0 * rng.random(n_samples, dtype=np.float32)
+    pos = np.stack([x, y, z], axis=1)
+    if noise != 0.0:
+        pos = pos + noise * rng.standard_normal(pos.shape, dtype=np.float32)
+    return pos.astype(np.float32), t.astype(np.float32)
+
+
+def create_3d_gaussians(n_samples: int = 1500, noise: float = 0.0,
+                        random_state: int = 1234,
+                        centers: np.ndarray | None = None):
+    """Isotropic 3D gaussian blobs (reference: TestData.cpp create3dGaussians).
+
+    Returns (positions [n, 3], labels [n] int32 of the generating blob).
+    """
+    if centers is None:
+        centers = np.zeros((1, 3), dtype=np.float32)
+    centers = np.asarray(centers, dtype=np.float32).reshape(-1, 3)
+    num_g = centers.shape[0]
+    rng = np.random.default_rng(random_state)
+
+    per = n_samples // num_g
+    counts = [per] * num_g
+    counts[-1] += n_samples - per * num_g
+
+    pos_list, lbl_list = [], []
+    for gid, cnt in enumerate(counts):
+        p = centers[gid] + rng.standard_normal((cnt, 3), dtype=np.float32)
+        pos_list.append(p)
+        lbl_list.append(np.full(cnt, gid, dtype=np.int32))
+    pos = np.concatenate(pos_list, axis=0)
+    if noise != 0.0:
+        pos = pos + noise * rng.standard_normal(pos.shape, dtype=np.float32)
+    return pos.astype(np.float32), np.concatenate(lbl_list)
+
+
+def create_checker_image(rows: int, cols: int, channels: int = 3,
+                         block: int = 2, noise: float = 0.0,
+                         seed: int = 1) -> np.ndarray:
+    """Small synthetic image stack for hierarchy tests: a checkerboard of
+    `block`-sized tiles with distinct channel signatures per tile class.
+    Shape [rows, cols, channels] float32."""
+    rng = np.random.default_rng(seed)
+    rr, cc = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
+    cls = ((rr // block) + (cc // block)) % 2
+    base = np.stack([np.where(cls == 0, 0.1 * (c + 1), 1.0 - 0.1 * (c + 1))
+                     for c in range(channels)], axis=-1)
+    img = base.astype(np.float32)
+    if noise:
+        img = img + noise * rng.standard_normal(img.shape).astype(np.float32)
+    return img

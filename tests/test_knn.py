@@ -1,0 +1,81 @@
+"""kNN engine tests vs. numpy exact reference (mirrors reference
+tests exercising FAISS wrappers indirectly through hand-checked fixtures)."""
+
+import numpy as np
+import pytest
+
+from sph_tpu.ops.knn import (compute_knn, index_heuristic, knn_bruteforce,
+                             knn_ivf)
+from sph_tpu.settings import KnnIndex, KnnMetric
+from sph_tpu.utils.testdata import create_3d_gaussians, create_random_data
+
+
+def numpy_exact_knn(data, k):
+    d2 = ((data[:, None, :] - data[None, :, :]) ** 2).sum(-1)
+    idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    dist = np.sqrt(np.take_along_axis(d2, idx, axis=1))
+    return idx, dist
+
+
+def test_bruteforce_matches_numpy():
+    data = create_random_data(8, 200, seed=3)
+    idx, dist = knn_bruteforce(data, 10)
+    ridx, rdist = numpy_exact_knn(data, 10)
+    assert np.allclose(np.sort(dist, axis=1), dist)  # ascending
+    assert np.all(idx[:, 0] == np.arange(200))
+    assert np.all(dist[:, 0] == 0)
+    # distances must match the exact ones (indices may differ on ties)
+    assert np.allclose(dist, rdist, atol=1e-4)
+
+
+def test_bruteforce_blocking_edges():
+    # n not a multiple of blocks
+    data = create_random_data(5, 333, seed=7)
+    idx, dist = knn_bruteforce(data, 7, row_block=64, col_block=128)
+    ridx, rdist = numpy_exact_knn(data, 7)
+    assert np.allclose(dist, rdist, atol=1e-4)
+    assert np.all(idx >= 0)
+
+
+def test_bruteforce_l2_squared():
+    data = create_random_data(4, 100, seed=1)
+    _, dist = knn_bruteforce(data, 5, l2_squared=True)
+    _, dist_sqrt = knn_bruteforce(data, 5, l2_squared=False)
+    assert np.allclose(np.sqrt(dist), dist_sqrt, atol=1e-4)
+
+
+def test_cosine_metric():
+    data = create_random_data(6, 150, seed=5) + 0.1
+    idx, dist = knn_bruteforce(data, 5, metric=KnnMetric.COSINE)
+    # chord distance on normalized vectors
+    normed = data / np.linalg.norm(data, axis=1, keepdims=True)
+    d2 = np.maximum(2 - 2 * normed @ normed.T, 0)
+    rdist = np.sqrt(np.sort(d2, axis=1)[:, :5])
+    assert np.allclose(np.sort(dist, axis=1), rdist, atol=1e-3)
+    assert np.all(idx[:, 0] == np.arange(150))
+
+
+def test_ivf_recall():
+    pos, _ = create_3d_gaussians(2000, random_state=9,
+                                 centers=np.array([[0, 0, 0], [8, 8, 8],
+                                                   [-8, 8, 0]]))
+    idx_e, dist_e = knn_bruteforce(pos, 10)
+    idx_a, dist_a = knn_ivf(pos, 10, nlist=20, nprobe=5)
+    # recall@10 should be high for well-separated clusters
+    recall = np.mean([len(set(a) & set(b)) / 10.0
+                      for a, b in zip(idx_e, idx_a)])
+    assert recall > 0.95
+    assert np.all(idx_a[:, 0] == np.arange(2000))
+
+
+def test_index_heuristic():
+    assert index_heuristic(5_000) == KnnIndex.BRUTE_FORCE
+    assert index_heuristic(50_000) == KnnIndex.IVF_FLAT
+    assert index_heuristic(1_000_000) == KnnIndex.HNSW
+
+
+def test_compute_knn_dispatch():
+    data = create_random_data(4, 64, seed=2)
+    i1, d1 = compute_knn(data, 5, KnnIndex.FLAT)
+    i2, d2 = compute_knn(data, 5, KnnIndex.BRUTE_FORCE)
+    assert np.allclose(d1, d2)
