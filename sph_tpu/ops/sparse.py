@@ -1,0 +1,481 @@
+"""Fixed-width sparse row algebra.
+
+Reference: the Eigen `SparseVecSPH` / HDILib `MapMemEff` row types
+(sph/utils/CommonDefinitions.hpp:86-105) and their algorithms in
+sph/utils/SparseMatrixAlgorithms.cpp — row/matrix normalization, diagonal
+removal, node merging by parents, pairwise Bhattacharyya similarities as
+blocked sqrt(A)*sqrt(A)^T with per-row top-k (createSimilaritiesHDI,
+:1173-1378).
+
+TPU-first redesign: ragged sparse rows become fixed-width padded arrays
+`indices [N, R] / values [N, R]` (pad index -1, pad value 0, rows sorted by
+index).  Bulk numerics (the A*A^T similarity matmul) run as dense blocked
+matmuls on the MXU with streaming top-k — the direct analogue of the
+reference's 1000-row blocked sparse multiply, but laid out for the systolic
+array instead of CSR pointer chasing.  One-shot restructurings (merge by
+parents) are vectorized host ops.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.logging import Log
+
+PAD = -1
+
+
+@dataclass
+class SparseRows:
+    """Row-sparse matrix with fixed-width rows.
+
+    indices: [N, R] int32, PAD (-1) padded, ascending within each row
+    values:  [N, R] float32, 0 at pads
+    num_cols: logical column count of the matrix
+    """
+
+    indices: np.ndarray
+    values: np.ndarray
+    num_cols: int
+
+    @property
+    def num_rows(self) -> int:
+        return self.indices.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.indices.shape[1]
+
+    @property
+    def mask(self) -> np.ndarray:
+        return self.indices >= 0
+
+    def nnz(self) -> int:
+        return int((self.mask & (self.values != 0)).sum())
+
+    def row_nnz(self) -> np.ndarray:
+        return (self.mask & (self.values != 0)).sum(axis=1)
+
+    def row_sums(self) -> np.ndarray:
+        return np.where(self.mask, self.values, 0.0).sum(axis=1)
+
+    def get(self, row: int, col: int) -> float:
+        m = (self.indices[row] == col)
+        return float(self.values[row][m].sum()) if m.any() else 0.0
+
+    def to_dense(self) -> np.ndarray:
+        out = np.zeros((self.num_rows, self.num_cols), dtype=np.float32)
+        r = np.repeat(np.arange(self.num_rows), self.width)
+        c = self.indices.ravel()
+        v = self.values.ravel()
+        ok = c >= 0
+        np.add.at(out, (r[ok], c[ok]), v[ok])
+        return out
+
+    @classmethod
+    def from_dense(cls, dense: np.ndarray, width: Optional[int] = None
+                   ) -> "SparseRows":
+        dense = np.asarray(dense, dtype=np.float32)
+        n, c = dense.shape
+        nnz = (dense != 0).sum(axis=1)
+        w = int(nnz.max()) if width is None else width
+        w = max(w, 1)
+        indices = np.full((n, w), PAD, dtype=np.int32)
+        values = np.zeros((n, w), dtype=np.float32)
+        for i in range(n):
+            cols = np.nonzero(dense[i])[0][:w]
+            indices[i, :len(cols)] = cols
+            values[i, :len(cols)] = dense[i, cols]
+        return cls(indices, values, c)
+
+    @classmethod
+    def from_lists(cls, rows: list, num_cols: int,
+                   width: Optional[int] = None) -> "SparseRows":
+        """rows: list of {col: val} dicts or [(col, val)] lists."""
+        norm_rows = []
+        for r in rows:
+            items = sorted(r.items()) if isinstance(r, dict) else sorted(r)
+            norm_rows.append(items)
+        w = width or max((len(r) for r in norm_rows), default=1)
+        w = max(w, 1)
+        n = len(norm_rows)
+        indices = np.full((n, w), PAD, dtype=np.int32)
+        values = np.zeros((n, w), dtype=np.float32)
+        for i, items in enumerate(norm_rows):
+            for j, (c, v) in enumerate(items[:w]):
+                indices[i, j] = c
+                values[i, j] = v
+        return cls(indices, values, num_cols)
+
+    def copy(self) -> "SparseRows":
+        return SparseRows(self.indices.copy(), self.values.copy(),
+                          self.num_cols)
+
+
+# ---------------------------------------------------------------------------
+# normalization / cleanup (reference: SparseMatrixAlgorithms.cpp:617-718)
+# ---------------------------------------------------------------------------
+
+def normalize_rows(sr: SparseRows) -> SparseRows:
+    """Each row sums to one (normalizeUnitSparseMatrix)."""
+    s = sr.row_sums()
+    s = np.where(s == 0, 1.0, s)
+    return SparseRows(sr.indices, (sr.values / s[:, None]).astype(np.float32),
+                      sr.num_cols)
+
+
+def normalize_matrix(sr: SparseRows) -> SparseRows:
+    """The whole matrix sums to one (normalizeSparseMatrix)."""
+    s = sr.row_sums().sum()
+    if s == 0:
+        return sr
+    return SparseRows(sr.indices, (sr.values / s).astype(np.float32),
+                      sr.num_cols)
+
+
+def remove_diagonal(sr: SparseRows, keep_single_entry: bool = True
+                    ) -> SparseRows:
+    """Zero out self entries (removeDiagonalElements,
+    SparseMatrixAlgorithms.cpp:704-718).  Rows whose only entry is the
+    diagonal keep it when keep_single_entry."""
+    rows = np.arange(sr.num_rows)[:, None]
+    diag = sr.indices == rows
+    if keep_single_entry:
+        nnz = sr.row_nnz()
+        protect = (nnz <= 1)[:, None]
+        diag = diag & ~protect
+    values = np.where(diag, 0.0, sr.values).astype(np.float32)
+    indices = np.where(diag & (values == 0), PAD, sr.indices)
+    # keep pads at the end: re-sort by (pad?, index)
+    return _compact(indices, values, sr.num_cols)
+
+
+def prune_values(sr: SparseRows, threshold: float) -> SparseRows:
+    """Remove entries with value <= threshold (doRandomWalks pruning)."""
+    keep = sr.values > threshold
+    indices = np.where(keep, sr.indices, PAD)
+    values = np.where(keep, sr.values, 0.0).astype(np.float32)
+    return _compact(indices, values, sr.num_cols)
+
+
+def _compact(indices: np.ndarray, values: np.ndarray, num_cols: int
+             ) -> SparseRows:
+    """Push pads to the row ends, keep ascending index order."""
+    key = np.where(indices < 0, np.iinfo(np.int32).max, indices)
+    order = np.argsort(key, axis=1, kind="stable")
+    r = np.arange(indices.shape[0])[:, None]
+    return SparseRows(indices[r, order], values[r, order], num_cols)
+
+
+def topk_rows(sr: SparseRows, k: int, largest: bool = True) -> SparseRows:
+    """Per-row top-k by value, result sorted by column index (findTopK /
+    findBottomK, SparseMatrixAlgorithms.cpp:720-776)."""
+    v = np.where(sr.mask, sr.values, -np.inf if largest else np.inf)
+    if largest:
+        order = np.argsort(-v, axis=1, kind="stable")[:, :k]
+    else:
+        order = np.argsort(v, axis=1, kind="stable")[:, :k]
+    r = np.arange(sr.num_rows)[:, None]
+    idx = sr.indices[r, order]
+    val = np.where(np.isfinite(v[r, order]), sr.values[r, order], 0.0)
+    idx = np.where(val == 0, PAD, idx)
+    return _compact(idx, val.astype(np.float32), sr.num_cols)
+
+
+# ---------------------------------------------------------------------------
+# merge by parents (reference: mergeNodesRandomWalks,
+# SparseMatrixAlgorithms.cpp:292-441)
+# ---------------------------------------------------------------------------
+
+def merge_rows_by_parents(sr: SparseRows, parents: np.ndarray,
+                          num_merged: int,
+                          norm: bool = False,
+                          weight_by_size: bool = True,
+                          max_width: Optional[int] = None) -> SparseRows:
+    """Sum child rows into parent rows, mapping columns through `parents` too.
+
+    weight_by_size: each child row is weighted by its nnz before summing and
+    the merged row divided by the summed weights (reference:
+    mergeNodesRandomWalks rowWeights logic, :321-346).
+    norm: row-normalize afterwards.
+    """
+    parents = np.asarray(parents, dtype=np.int64)
+    assert parents.shape[0] == sr.num_rows
+
+    mask = sr.mask & (sr.values != 0)
+    row_ids = np.broadcast_to(np.arange(sr.num_rows)[:, None],
+                              sr.indices.shape)[mask]
+    col_ids = sr.indices[mask].astype(np.int64)
+    vals = sr.values[mask].astype(np.float64)
+
+    row_w = sr.row_nnz().astype(np.float64) if weight_by_size else (
+        np.ones(sr.num_rows))
+    vals = vals * row_w[row_ids]
+
+    prow = parents[row_ids]
+    pcol = parents[col_ids]
+    key = prow * num_merged + pcol
+    uniq, inv = np.unique(key, return_inverse=True)
+    sums = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(sums, inv, vals)
+
+    out_rows = (uniq // num_merged).astype(np.int64)
+    out_cols = (uniq % num_merged).astype(np.int32)
+
+    merged_w = np.zeros(num_merged, dtype=np.float64)
+    np.add.at(merged_w, parents, row_w)
+    if weight_by_size:
+        sums = sums / np.maximum(merged_w[out_rows], 1.0)
+
+    # build fixed-width rows
+    counts = np.bincount(out_rows, minlength=num_merged)
+    width = int(counts.max()) if counts.size else 1
+    if max_width is not None and width > max_width:
+        Log.info("merge_rows_by_parents: truncating rows from width %d to %d "
+                 "(keeping largest values)", width, max_width)
+        width = max_width
+    width = max(width, 1)
+
+    indices = np.full((num_merged, width), PAD, dtype=np.int32)
+    values = np.zeros((num_merged, width), dtype=np.float32)
+
+    # entries are already sorted by key == (row, col); place by within-row rank
+    starts = np.zeros(num_merged + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(out_rows.size) - starts[out_rows]
+    ok = slot < width
+    if not np.all(ok):
+        # keep the largest values per overfull row
+        order = np.lexsort((-sums, out_rows))
+        out_rows, out_cols, sums = (out_rows[order], out_cols[order],
+                                    sums[order])
+        slot = np.arange(out_rows.size) - starts[out_rows]
+        ok = slot < width
+    indices[out_rows[ok], slot[ok]] = out_cols[ok]
+    values[out_rows[ok], slot[ok]] = sums[ok].astype(np.float32)
+
+    out = _compact(indices, values, num_merged)
+    if norm:
+        out = normalize_rows(out)
+    return out
+
+
+def merge_rows_min_by_parents(sr: SparseRows, parents: np.ndarray,
+                              num_merged: int) -> SparseRows:
+    """Min-distance merge semantics (mergeNodesDataDistances /
+    mergeGraphNodes, SparseMatrixAlgorithms.cpp:443-561): duplicate merged
+    entries keep the smallest value."""
+    parents = np.asarray(parents, dtype=np.int64)
+    mask = sr.mask & (sr.values != 0)
+    row_ids = np.broadcast_to(np.arange(sr.num_rows)[:, None],
+                              sr.indices.shape)[mask]
+    col_ids = sr.indices[mask].astype(np.int64)
+    vals = sr.values[mask].astype(np.float64)
+
+    key = parents[row_ids] * num_merged + parents[col_ids]
+    uniq, inv = np.unique(key, return_inverse=True)
+    mins = np.full(uniq.size, np.inf)
+    np.minimum.at(mins, inv, vals)
+
+    out_rows = (uniq // num_merged).astype(np.int64)
+    out_cols = (uniq % num_merged).astype(np.int32)
+    counts = np.bincount(out_rows, minlength=num_merged)
+    width = max(int(counts.max()) if counts.size else 1, 1)
+    indices = np.full((num_merged, width), PAD, dtype=np.int32)
+    values = np.zeros((num_merged, width), dtype=np.float32)
+    starts = np.zeros(num_merged + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(out_rows.size) - starts[out_rows]
+    indices[out_rows, slot] = out_cols
+    values[out_rows, slot] = mins.astype(np.float32)
+    return SparseRows(indices, values, num_merged)
+
+
+# ---------------------------------------------------------------------------
+# Bhattacharyya pairwise similarities (reference: createSimilarities*,
+# SparseMatrixAlgorithms.cpp:963-1488)
+# ---------------------------------------------------------------------------
+
+def bhattacharyya_pairs(sr: SparseRows, rows_a: np.ndarray,
+                        rows_b: np.ndarray) -> np.ndarray:
+    """BC(a, b) = sum_i sqrt(p_a[i] * p_b[i]) for given row pairs (reference:
+    randomWalksBhattacharyya, Similarities.cpp:379-396).  Used for the
+    merge-step NEIGH_WALKS distances where only (component, spatial neighbor)
+    pairs are needed."""
+    return np.asarray(_bhattacharyya_pairs_device(
+        jnp.asarray(sr.indices), jnp.asarray(sr.values),
+        jnp.asarray(rows_a, jnp.int32), jnp.asarray(rows_b, jnp.int32)))
+
+
+@jax.jit
+def _bhattacharyya_pairs_device(indices, values, rows_a, rows_b):
+    """Sparse-sparse dot of sqrt values via double-binary-search merge of the
+    two sorted index lists, vectorized over pairs."""
+    ia = indices[rows_a]          # [E, R]
+    va = jnp.sqrt(jnp.maximum(values[rows_a], 0.0))
+    ib = indices[rows_b]
+    vb = jnp.sqrt(jnp.maximum(values[rows_b], 0.0))
+
+    # for each entry of a, find matching column in b (rows sorted by index;
+    # pads are -1 at... pads sorted to END as int32 max in compact — but
+    # stored as -1).  Replace pads with int max for searchsorted.
+    big = jnp.int32(2**31 - 1)
+    ia_s = jnp.where(ia < 0, big, ia)
+    ib_s = jnp.where(ib < 0, big, ib)
+
+    def pair_dot(ia_r, va_r, ib_r, vb_r):
+        pos = jnp.searchsorted(ib_r, ia_r)
+        pos = jnp.clip(pos, 0, ib_r.shape[0] - 1)
+        match = ib_r[pos] == ia_r
+        contrib = jnp.where(match & (ia_r < big), va_r * vb_r[pos], 0.0)
+        return jnp.sum(contrib)
+
+    return jax.vmap(pair_dot)(ia_s, va, ib_s, vb)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def _pairwise_sim_device(indices, values, row_scale, n_valid, k: int,
+                         block: int, prune_val: float):
+    """Blocked dense sqrt(A) * sqrt(A)^T with streaming per-row bottom-k of
+    -log(BC).  indices/values: [Np, R] padded rows; row_scale: [Np]
+    multiplicative row weights (sqrt of component size or 1).
+
+    Returns (top_idx [Np, k], top_dist [Np, k]) sorted ascending by distance.
+    MXU path: each [block, C] x [C, block] tile is one f32 matmul.
+    """
+    npad, r = indices.shape
+    c = npad  # square matrix: columns == rows domain (padded)
+    num_blocks = npad // block
+
+    # densify one block of rows: [block, C]
+    def densify(b):
+        idx = jax.lax.dynamic_slice_in_dim(indices, b * block, block)
+        val = jax.lax.dynamic_slice_in_dim(values, b * block, block)
+        scale = jax.lax.dynamic_slice_in_dim(row_scale, b * block, block)
+        sq = jnp.sqrt(jnp.maximum(val, 0.0)) * scale[:, None]
+        dense = jnp.zeros((block, c), jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block, r), 0)
+        safe_idx = jnp.where(idx < 0, 0, idx)
+        sq = jnp.where(idx < 0, 0.0, sq)
+        return dense.at[rows, safe_idx].add(sq)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+
+    def row_block_fn(rb):
+        rows_dense = densify(rb)
+        row_ids = (jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+                   + rb * block)
+
+        def col_step(carry, cb):
+            top_d, top_i = carry
+            cols_dense = densify(cb)
+            bc = jnp.dot(rows_dense, cols_dense.T,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            ids = jnp.broadcast_to(col_ids + cb * block, bc.shape)
+            # prune tiny coefficients, take -log
+            valid = (bc > prune_val) & (ids != row_ids) & (ids < n_valid)
+            dist = jnp.where(valid, -jnp.log(jnp.maximum(bc, 1e-38)), jnp.inf)
+            merged_d = jnp.concatenate([top_d, dist], axis=1)
+            merged_i = jnp.concatenate([top_i, ids], axis=1)
+            neg, sel = jax.lax.top_k(-merged_d, k)
+            rr = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
+            return (-neg, merged_i[rr, sel]), None
+
+        init = (jnp.full((block, k), jnp.inf, jnp.float32),
+                jnp.full((block, k), -1, jnp.int32))
+        (top_d, top_i), _ = jax.lax.scan(col_step, init,
+                                         jnp.arange(num_blocks))
+        return top_d, top_i
+
+    top_d, top_i = jax.lax.map(row_block_fn, jnp.arange(num_blocks))
+    return top_i.reshape(npad, k), top_d.reshape(npad, k)
+
+
+def pairwise_similarities(sr: SparseRows, k: int,
+                          prune_val: float = 1e-4,
+                          component_sizes: Optional[np.ndarray] = None,
+                          block: int = 512) -> SparseRows:
+    """All-pairs Bhattacharyya distances with per-row bottom-k (reference:
+    createSimilarities, SparseMatrixAlgorithms.cpp:963-995 — blocked
+    sqrt(A)*sqrt(A)^T, prune, -log, keep the k smallest distances per row,
+    sort them by column index and normalize the row to sum 1).
+
+    component_sizes: optional per-row weights; rows are scaled by
+    sqrt(size) before the product (:1200-1212).
+    """
+    n = sr.num_rows
+    k = min(k, max(n - 1, 1))
+    block_eff = min(block, max(8, n))
+    npad = ((n + block_eff - 1) // block_eff) * block_eff
+
+    indices = np.full((npad, sr.width), PAD, dtype=np.int32)
+    values = np.zeros((npad, sr.width), dtype=np.float32)
+    indices[:n] = sr.indices
+    values[:n] = sr.values
+    scale = np.ones(npad, dtype=np.float32)
+    if component_sizes is not None:
+        scale[:n] = np.sqrt(component_sizes.astype(np.float32))
+
+    top_i, top_d = _pairwise_sim_device(
+        jnp.asarray(indices), jnp.asarray(values), jnp.asarray(scale),
+        jnp.int32(n), k, block_eff, float(prune_val))
+    top_i = np.asarray(top_i[:n])
+    top_d = np.asarray(top_d[:n])
+
+    # drop +inf (fewer than k similar rows), sort by column index, normalize
+    val = np.where(np.isfinite(top_d), top_d, 0.0).astype(np.float32)
+    idx = np.where(np.isfinite(top_d), top_i, PAD).astype(np.int32)
+    out = _compact(idx, val, n)
+    return normalize_rows(out)
+
+
+def symmetrize_tsne(sr: SparseRows) -> SparseRows:
+    """p_sym = (p + p^T) / 2 on the union support (reference: symmetrizeTSNE,
+    HDILibHelper.hpp:260-280)."""
+    import scipy.sparse as sp
+    m = _to_scipy(sr)
+    s = (m + m.T) * 0.5
+    return _from_scipy(s.tocsr(), sr.num_cols)
+
+
+def symmetrize_umap(sr: SparseRows) -> SparseRows:
+    """Fuzzy union p + p^T - p*p^T (elementwise; reference: symmetrizeUMAP,
+    HDILibHelper.hpp:282-302)."""
+    import scipy.sparse as sp
+    m = _to_scipy(sr)
+    prod = m.multiply(m.T)
+    s = m + m.T - prod
+    return _from_scipy(s.tocsr(), sr.num_cols)
+
+
+def _to_scipy(sr: SparseRows):
+    import scipy.sparse as sp
+    mask = sr.mask & (sr.values != 0)
+    rows = np.broadcast_to(np.arange(sr.num_rows)[:, None],
+                           sr.indices.shape)[mask]
+    cols = sr.indices[mask]
+    vals = sr.values[mask]
+    return sp.coo_matrix((vals, (rows, cols)),
+                         shape=(sr.num_rows, sr.num_cols)).tocsr()
+
+
+def _from_scipy(m, num_cols: int) -> SparseRows:
+    m = m.tocsr()
+    m.eliminate_zeros()
+    n = m.shape[0]
+    counts = np.diff(m.indptr)
+    width = max(int(counts.max()) if counts.size else 1, 1)
+    indices = np.full((n, width), PAD, dtype=np.int32)
+    values = np.zeros((n, width), dtype=np.float32)
+    slot = np.arange(m.indices.size) - np.repeat(m.indptr[:-1], counts)
+    row_ids = np.repeat(np.arange(n), counts)
+    indices[row_ids, slot] = m.indices
+    values[row_ids, slot] = m.data.astype(np.float32)
+    return SparseRows(indices, values, num_cols)

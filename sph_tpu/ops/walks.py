@@ -1,0 +1,227 @@
+"""Random-walk engine.
+
+Reference: sph/utils/SparseMatrixAlgorithms.cpp doRandomWalks (:34-290) — per
+point, `num_random_walks` walks of `single_walk_length` steps sampling the
+next node by inverse-CDF over the similarity row (in ascending column order),
+with five importance-weighting schemes, optional pruning, diagonal removal
+and row normalization.
+
+TPU-first redesign: all C * W walkers advance in lock-step under a
+`lax.scan` over steps — each step is one gather of the cumulative-probability
+rows plus a vectorized CDF inversion (a `sum(cum <= u)` count, identical to
+the reference's first-crossing scan in index order).  Visit accumulation is a
+per-row sort + run-length segment-sum, replacing the reference's per-thread
+Eigen sparse scatter with omp locks.  The mt19937 streams become counter-based
+threefry keys — bit-for-bit parity with the C++ streams is impossible, so
+parity is statistical (see tests), matching SURVEY.md hard-part #2.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..settings import ImportanceWeighting, RandomWalkSettings
+from ..utils.logging import Log
+from .sparse import (PAD, SparseRows, _compact, normalize_rows,
+                     prune_values, remove_diagonal)
+
+
+def step_linear(step, walk_length):
+    """Reference: SparseMatrixAlgorithms.hpp:60-61."""
+    return 1.0 - step / walk_length
+
+
+def step_normal(step, walk_length):
+    """Reference: SparseMatrixAlgorithms.hpp:64-70 (3 sigma over the walk)."""
+    x = step * 3.0 / walk_length
+    return np.exp(-0.5 * x * x)
+
+
+def derive_prune_value(settings: RandomWalkSettings) -> float:
+    """Reference: doRandomWalks prune-steps logic (:41-62)."""
+    prune_value = settings.prune_value
+    if settings.prune_steps > 0:
+        l = settings.single_walk_length
+        prune_step = min(l - 1, settings.prune_steps)
+        prune_step_inv = l - prune_step
+        iw = settings.importance_weighting
+        if iw == ImportanceWeighting.LINEAR:
+            prune_value = step_linear(prune_step_inv, l)
+        elif iw == ImportanceWeighting.NORMAL:
+            prune_value = step_normal(prune_step_inv, l)
+        elif iw == ImportanceWeighting.CONSTANT:
+            prune_value = float(prune_step_inv)
+        elif iw == ImportanceWeighting.FIRST_VISIT:
+            prune_value = float(prune_step) / l
+        if prune_value > 0.5:
+            Log.warn("doRandomWalks: derived prune value %.3f clamped to 0.5",
+                     prune_value)
+            prune_value = 0.5
+    return float(prune_value)
+
+
+@functools.partial(jax.jit, static_argnames=("num_walks", "walk_length"))
+def _simulate(indices: jax.Array, values: jax.Array, seed: jax.Array,
+              num_walks: int, walk_length: int) -> jax.Array:
+    """Advance all walkers; returns visited nodes [walk_length, C * W].
+
+    Sampling matches the reference: u ~ U(0,1); next = first column j (in
+    ascending index order) with u < cumsum(row)[j]; if none, stay.
+    """
+    c, r = indices.shape
+    w = num_walks
+    cum = jnp.cumsum(jnp.where(indices >= 0, values, 0.0), axis=1)  # [C, R]
+
+    start = jnp.repeat(jnp.arange(c, dtype=jnp.int32), w)  # [C*W]
+    key = jax.random.PRNGKey(seed)
+
+    def step(nodes, t):
+        u = jax.random.uniform(jax.random.fold_in(key, t), (c * w,))
+        rows_cum = cum[nodes]            # [C*W, R]
+        pos = jnp.sum(rows_cum <= u[:, None], axis=1)  # first crossing
+        in_range = pos < r
+        safe_pos = jnp.minimum(pos, r - 1)
+        cand = indices[nodes, safe_pos]
+        nxt = jnp.where(in_range & (cand >= 0), cand, nodes)
+        return nxt, nxt
+
+    _, visited = jax.lax.scan(step, start, jnp.arange(walk_length))
+    return visited  # [L, C*W]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_walks", "walk_length", "weighting", "out_width"))
+def _accumulate(visited: jax.Array, num_walks: int, walk_length: int,
+                weighting: str, out_width: int
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Turn the visit record into weighted per-start-point rows.
+
+    visited: [L, C*W].  Returns (indices [C, out_width], values
+    [C, out_width]) with per-row unique columns summed per the weighting
+    scheme.  FIRST_VISIT implements the average-first-visit-step inversion
+    (reference: :151-201).
+    """
+    l, cw = visited.shape
+    w = num_walks
+    c = cw // w
+
+    steps = jnp.arange(l, dtype=jnp.float32)
+    if weighting == "constant":
+        step_w = jnp.ones(l, jnp.float32)
+    elif weighting == "linear":
+        step_w = 1.0 - steps / walk_length
+    elif weighting == "normal":
+        x = steps * 3.0 / walk_length
+        step_w = jnp.exp(-0.5 * x * x)
+    elif weighting == "onlylast":
+        step_w = jnp.where(steps == l - 1, 1.0, 0.0)
+    else:  # first_visit handled below
+        step_w = steps + 1.0
+
+    if weighting == "first_visit":
+        # first visit within each walk: node differs from all previous visits
+        # of the same walk and from the start node
+        start = jnp.repeat(jnp.arange(c, dtype=jnp.int32), w)  # [C*W]
+        vis_t = visited  # [L, CW]
+        prev_same = jnp.zeros((l, cw), dtype=bool)
+        # O(L^2) pairwise comparisons; L is small (<= ~50)
+        for t in range(l):
+            seen = vis_t[t] == start
+            for t2 in range(t):
+                seen = seen | (vis_t[t] == vis_t[t2])
+            prev_same = prev_same.at[t].set(seen)
+        first_mask = ~prev_same                      # [L, CW]
+        weights = jnp.where(first_mask, step_w[:, None], 0.0)
+        counts = first_mask.astype(jnp.float32)
+    else:
+        weights = jnp.broadcast_to(step_w[:, None], (l, cw))
+        counts = jnp.ones((l, cw), jnp.float32)
+
+    # reshape to per-start-point sample lists [C, W*L]
+    ids = visited.reshape(l, c, w).transpose(1, 2, 0).reshape(c, w * l)
+    wts = weights.reshape(l, c, w).transpose(1, 2, 0).reshape(c, w * l)
+    cts = counts.reshape(l, c, w).transpose(1, 2, 0).reshape(c, w * l)
+
+    s = w * l
+    order = jnp.argsort(ids, axis=1)
+    rr = jnp.arange(c)[:, None]
+    ids_s = ids[rr, order]
+    wts_s = wts[rr, order]
+    cts_s = cts[rr, order]
+
+    new_run = jnp.concatenate(
+        [jnp.ones((c, 1), bool), ids_s[:, 1:] != ids_s[:, :-1]], axis=1)
+    run_id = jnp.cumsum(new_run, axis=1) - 1        # [C, S] in [0, S)
+
+    sum_w = jnp.zeros((c, s), jnp.float32).at[rr, run_id].add(wts_s)
+    sum_c = jnp.zeros((c, s), jnp.float32).at[rr, run_id].add(cts_s)
+    run_ids = jnp.full((c, s), PAD, jnp.int32).at[rr, run_id].max(ids_s)
+    num_runs = jnp.sum(new_run, axis=1)             # [C]
+    valid_run = (jax.lax.broadcasted_iota(jnp.int32, (c, s), 1)
+                 < num_runs[:, None])
+
+    if weighting == "first_visit":
+        # average step of first visits, inverted to [0, 1]
+        # (reference: :180-200 — m = -1/(L-1), c = L/(L-1))
+        avg = jnp.where(sum_c > 0, sum_w / jnp.maximum(sum_c, 1.0), 0.0)
+        m = -1.0 / (walk_length - 1.0)
+        b = walk_length / (walk_length - 1.0)
+        val = jnp.maximum(0.0, m * avg + b)
+        # nodes visited only as repeats (count 0) are absent entirely
+        valid_run = valid_run & (sum_c > 0)
+    else:
+        val = sum_w
+
+    val = jnp.where(valid_run, val, 0.0)
+    run_ids = jnp.where(valid_run & (val > 0), run_ids, PAD)
+
+    if out_width < s:
+        top_v, sel = jax.lax.top_k(val, out_width)
+        top_i = run_ids[rr, sel]
+        return top_i, top_v
+    return run_ids, val
+
+
+def do_random_walks(similarities: SparseRows,
+                    settings: RandomWalkSettings,
+                    verbose: bool = False) -> SparseRows:
+    """Full doRandomWalks semantics (reference:
+    SparseMatrixAlgorithms.cpp:34-290): simulate, weight, prune, remove
+    diagonal (keeping single-entry rows), row-normalize."""
+    c = similarities.num_rows
+    w = int(settings.num_random_walks)
+    l = int(settings.single_walk_length)
+    Log.info("Random walks: %d walks with %d steps each using %s weighting",
+             w, l, settings.importance_weighting.value)
+
+    prune_value = derive_prune_value(settings)
+    if prune_value > 0:
+        Log.info("Random walks: pruning all values below %s", prune_value)
+
+    cap = settings.max_row_nnz or min(w * l, 2048)
+    out_width = min(cap, w * l, c)
+
+    visited = _simulate(jnp.asarray(similarities.indices),
+                        jnp.asarray(similarities.values),
+                        jnp.uint32(settings.random_seed), w, l)
+    idx, val = _accumulate(visited, w, l,
+                           settings.importance_weighting.value, out_width)
+
+    rows = _compact(np.asarray(idx), np.asarray(val), c)
+
+    if prune_value > 0:
+        rows = prune_values(rows, prune_value)
+    if settings.remove_diagonal:
+        rows = remove_diagonal(rows, keep_single_entry=True)
+    if settings.normalize:
+        rows = normalize_rows(rows)
+
+    empty = int((rows.row_nnz() == 0).sum())
+    if empty:
+        Log.warn("doRandomWalks: %d rows have no effective entries", empty)
+    return rows

@@ -1,0 +1,161 @@
+"""Sparse-row algebra tests (mirrors reference UtilsTests sections on sparse
+matrix behavior, node merging, top-k deques, and the random-walk-similarity
+benchmark variants' agreement)."""
+
+import numpy as np
+import pytest
+
+from sph_tpu.ops.sparse import (SparseRows, bhattacharyya_pairs,
+                                merge_rows_by_parents,
+                                merge_rows_min_by_parents, normalize_matrix,
+                                normalize_rows, pairwise_similarities,
+                                prune_values, remove_diagonal,
+                                symmetrize_tsne, symmetrize_umap, topk_rows)
+
+
+def make_rows(dense):
+    return SparseRows.from_dense(np.asarray(dense, dtype=np.float32))
+
+
+def test_roundtrip_dense():
+    d = np.array([[0, 1, 0, 2], [3, 0, 0, 0], [0, 0, 0, 0]], np.float32)
+    sr = make_rows(d)
+    assert np.allclose(sr.to_dense(), d)
+    assert sr.nnz() == 3
+
+
+def test_normalize_rows():
+    sr = make_rows([[0, 2, 2], [1, 0, 0], [0, 0, 0]])
+    n = normalize_rows(sr)
+    dn = n.to_dense()
+    assert np.allclose(dn[0], [0, 0.5, 0.5])
+    assert np.allclose(dn[1], [1, 0, 0])
+
+
+def test_normalize_matrix():
+    sr = make_rows([[0, 2], [2, 0]])
+    n = normalize_matrix(sr)
+    assert np.isclose(n.to_dense().sum(), 1.0)
+
+
+def test_remove_diagonal_keeps_single():
+    sr = make_rows([[1, 2, 0], [0, 5, 0], [1, 0, 3]])
+    out = remove_diagonal(sr, keep_single_entry=True)
+    d = out.to_dense()
+    assert d[0, 0] == 0 and d[0, 1] == 2
+    assert d[1, 1] == 5          # single entry kept
+    assert d[2, 2] == 0 and d[2, 0] == 1
+
+
+def test_prune():
+    sr = make_rows([[0.1, 0.5, 0.05]])
+    out = prune_values(sr, 0.1)  # <= threshold removed
+    d = out.to_dense()
+    assert np.allclose(d, [[0, 0.5, 0]])
+
+
+def test_topk_rows():
+    sr = make_rows([[0.5, 0.1, 0.9, 0.3]])
+    top = topk_rows(sr, 2, largest=True)
+    d = top.to_dense()
+    assert np.allclose(d, [[0.5, 0, 0.9, 0]])
+    bot = topk_rows(sr, 2, largest=False)
+    assert np.allclose(bot.to_dense(), [[0, 0.1, 0, 0.3]])
+
+
+def test_merge_by_parents_unweighted():
+    # 4 nodes -> 2 parents {0,1}->0, {2,3}->1
+    dense = np.array([[0, 1, 2, 0],
+                      [1, 0, 0, 3],
+                      [2, 0, 0, 1],
+                      [0, 3, 1, 0]], np.float32)
+    sr = make_rows(dense)
+    parents = np.array([0, 0, 1, 1])
+    merged = merge_rows_by_parents(sr, parents, 2, weight_by_size=False)
+    # expected: group-sum rows then columns
+    exp = np.zeros((2, 2), np.float32)
+    for i in range(4):
+        for j in range(4):
+            exp[parents[i], parents[j]] += dense[i, j]
+    assert np.allclose(merged.to_dense(), exp)
+
+
+def test_merge_by_parents_weighted():
+    dense = np.array([[0, 1, 1, 0],      # nnz 2
+                      [1, 0, 0, 0],      # nnz 1
+                      [0, 0, 0, 2],      # nnz 1
+                      [0, 0, 2, 0]], np.float32)
+    sr = make_rows(dense)
+    parents = np.array([0, 0, 1, 1])
+    merged = merge_rows_by_parents(sr, parents, 2, weight_by_size=True)
+    # row weights: r0=2, r1=1 -> parent0 weight 3; r2=1, r3=1 -> parent1 w 2
+    exp = np.zeros((2, 2), np.float64)
+    w = [2, 1, 1, 1]
+    for i in range(4):
+        for j in range(4):
+            exp[parents[i], parents[j]] += dense[i, j] * w[i]
+    exp[0] /= 3
+    exp[1] /= 2
+    assert np.allclose(merged.to_dense(), exp, atol=1e-6)
+
+
+def test_merge_min_by_parents():
+    dense = np.array([[0, 5, 2, 0],
+                      [5, 0, 0, 3],
+                      [2, 0, 0, 1],
+                      [0, 3, 1, 0]], np.float32)
+    sr = make_rows(dense)
+    parents = np.array([0, 0, 1, 1])
+    merged = merge_rows_min_by_parents(sr, parents, 2)
+    d = merged.to_dense()
+    assert d[0, 0] == 5          # min of nonzero intra-group (5)
+    assert d[0, 1] == 2          # min(2, 3)
+    assert d[1, 0] == 2
+    assert d[1, 1] == 1
+
+
+def test_bhattacharyya_pairs():
+    p = make_rows([[0.5, 0.5, 0.0], [0.0, 0.5, 0.5], [0.25, 0.25, 0.5]])
+    bc = bhattacharyya_pairs(p, np.array([0, 0]), np.array([1, 2]))
+    # BC(0,1) = sqrt(.5*.5) = .5
+    assert np.isclose(bc[0], 0.5, atol=1e-6)
+    exp = np.sqrt(0.5 * 0.25) + np.sqrt(0.5 * 0.25)
+    assert np.isclose(bc[1], exp, atol=1e-6)
+
+
+def test_pairwise_similarities_vs_naive():
+    rng = np.random.default_rng(0)
+    dense = rng.random((20, 20)).astype(np.float32)
+    dense[dense < 0.5] = 0  # sparsify
+    dense = dense / np.maximum(dense.sum(1, keepdims=True), 1e-9)
+    sr = make_rows(dense)
+    out = pairwise_similarities(sr, k=5, prune_val=1e-4, block=8)
+
+    sq = np.sqrt(dense)
+    bc = sq @ sq.T
+    for i in range(20):
+        d = np.where((bc[i] > 1e-4) & (np.arange(20) != i),
+                     -np.log(np.maximum(bc[i], 1e-38)), np.inf)
+        kk = min(5, np.isfinite(d).sum())
+        sel = np.argsort(d)[:kk]
+        vals = d[sel]
+        vals = vals / vals.sum() if vals.sum() > 0 else vals
+        got = out.to_dense()[i]
+        exp = np.zeros(20, np.float32)
+        exp[sel] = vals
+        assert np.allclose(got, exp, atol=1e-4), i
+
+
+def test_symmetrize_tsne():
+    sr = make_rows([[0, 0.6, 0.4], [0.2, 0, 0.8], [0, 0, 0]])
+    s = symmetrize_tsne(sr).to_dense()
+    assert np.isclose(s[0, 1], 0.4) and np.isclose(s[1, 0], 0.4)
+    assert np.isclose(s[0, 2], 0.2) and np.isclose(s[2, 0], 0.2)
+    assert np.allclose(s, s.T)
+
+
+def test_symmetrize_umap():
+    sr = make_rows([[0, 0.6, 0], [0.2, 0, 0], [0, 0, 0]])
+    s = symmetrize_umap(sr).to_dense()
+    exp = 0.6 + 0.2 - 0.6 * 0.2
+    assert np.isclose(s[0, 1], exp) and np.isclose(s[1, 0], exp)
