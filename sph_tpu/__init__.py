@@ -1,0 +1,48 @@
+"""sph-tpu: a TPU-native superpixel-hierarchy + embedding framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of alxvth/SPH
+(superpixel hierarchies and t-SNE/UMAP embeddings for high-dimensional
+images), keeping its four-stage public API:
+
+    ImageStack -> ComputeHierarchy{NearestNeighbors -> ImageHierarchy ->
+    LevelSimilarities} -> ComputeEmbedding{t-SNE | UMAP}
+
+See SURVEY.md for the structural map of the reference implementation.
+"""
+
+from .data import ImageStack, scale
+from .settings import (CacheSettings, ComponentSim, EmbeddingInit,
+                       ImageHierarchySettings, ImportanceWeighting, KnnIndex,
+                       KnnMetric, LevelSimilaritiesSettings,
+                       NearestNeighborsSettings, NeighConnection,
+                       NormalizationScheme, NormType, RandomWalkHandling,
+                       RandomWalkReduction, RandomWalkSettings, Scaler)
+from .models.compute_embedding import (ComputeEmbedding,
+                                       ComputeEmbeddingSettings,
+                                       average_position_of_children,
+                                       scale_embedding_to_one)
+from .models.compute_hierarchy import ComputeHierarchy
+from .models.hierarchy import Hierarchy
+from .models.image_hierarchy import ImageHierarchy
+from .models.level_similarities import LevelSimilarities
+from .models.nearest_neighbors import NearestNeighbors
+from .models.tsne import TsneComputation, TsneParameters
+from .models.umap import UmapComputation, UmapParameters
+from .ops.graph import KnnGraph, PaddedGraph
+from .ops.sparse import SparseRows
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ImageStack", "scale",
+    "ComputeHierarchy", "ComputeEmbedding", "ComputeEmbeddingSettings",
+    "NearestNeighbors", "ImageHierarchy", "LevelSimilarities", "Hierarchy",
+    "TsneComputation", "TsneParameters", "UmapComputation", "UmapParameters",
+    "KnnGraph", "PaddedGraph", "SparseRows",
+    "CacheSettings", "ComponentSim", "EmbeddingInit",
+    "ImageHierarchySettings", "ImportanceWeighting", "KnnIndex", "KnnMetric",
+    "LevelSimilaritiesSettings", "NearestNeighborsSettings",
+    "NeighConnection", "NormalizationScheme", "NormType",
+    "RandomWalkHandling", "RandomWalkReduction", "RandomWalkSettings",
+    "Scaler", "scale_embedding_to_one", "average_position_of_children",
+]

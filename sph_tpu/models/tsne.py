@@ -1,0 +1,337 @@
+"""t-SNE gradient descent.
+
+Reference: sph/EmbedTsne.cpp — HDILib `SparseTSNEUserDefProbabilities`
+(CPU Barnes-Hut with theta = min(0.5, max(0, (N-1000)*5e-5)),
+EmbedTsne.cpp:165-178) or the `GradientDescentTSNETexture` GL compute shader
+(the reference's only accelerator path); exaggeration factor
+clamp(4 + N/60000, 4, 20) (:138-139); chunked iteration driver
+(ComputeEmbedding.cpp:85-129).
+
+TPU-first redesign: Barnes-Hut trees are pointer-chasing and TPU-hostile;
+the repulsive force is instead computed *exactly* with tiled [block, N]
+Student-t weight blocks — the row reduction of w^2 (y_i - y_j) factorizes as
+(sum_j w^2) y_i - W2 @ Y, one elementwise block plus one matmul per tile, so
+the O(N^2) term is bandwidth-lean and fully fused by XLA.  Exact repulsion
+also *improves* on the reference: no theta approximation error.  The sparse
+attractive term gathers fixed-width P rows.  Momentum/gains/eta and the
+exaggeration schedule follow HDILib's TsneParameters defaults (minimum_gain
+0.1, eta 200, momentum 0.2 -> 0.8 at iteration 250, exaggeration removed at
+250 with exponential decay over 150).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sparse import SparseRows
+from ..utils.logging import Log
+
+
+@dataclass
+class TsneParameters:
+    """HDILib hdi::dr::TsneParameters defaults (wired through
+    TsneEmbeddingParameters, EmbedTsne.hpp:37-46)."""
+
+    perplexity: float = 30.0
+    perplexity_multiplier: int = 3
+    num_iterations: int = 1000
+    eta: float = 200.0
+    momentum: float = 0.2
+    final_momentum: float = 0.8
+    mom_switching_iter: int = 250
+    exaggeration_factor: float = 4.0     # overridden by N-dependent clamp
+    remove_exaggeration_iter: int = 250
+    exponential_decay_iter: int = 150
+    minimum_gain: float = 0.1
+    embedding_dims: int = 2
+
+
+def default_exaggeration(num_points: int) -> float:
+    """Reference: EmbedTsne.cpp:138-139."""
+    return float(np.clip(4.0 + num_points / 60_000.0, 4.0, 20.0))
+
+
+@dataclass
+class TsneState:
+    embedding: jax.Array      # [Np, 2]
+    velocity: jax.Array       # [Np, 2]
+    gain: jax.Array           # [Np, 2]
+    iteration: int
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _repulsive_forces(y: jax.Array, n_valid, block: int):
+    """Exact O(N^2) Student-t repulsion, tiled.
+
+    Returns (rep [Np, 2] = sum_j w_ij^2 (y_i - y_j), Z = sum_{i != j} w_ij).
+    Pad rows (>= n_valid) contribute nothing.
+    """
+    npad, dim = y.shape
+    num_blocks = npad // block
+    sq = jnp.sum(y * y, axis=1)
+    col_valid = (jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)
+                 < n_valid)
+
+    def row_block(rb):
+        yb = jax.lax.dynamic_slice_in_dim(y, rb * block, block)
+        sqb = jax.lax.dynamic_slice_in_dim(sq, rb * block, block)
+        d2 = (sqb[:, None] + sq[None, :]
+              - 2.0 * jnp.dot(yb, y.T, preferred_element_type=jnp.float32))
+        w = 1.0 / (1.0 + jnp.maximum(d2, 0.0))
+        row_ids = (jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+                   + rb * block)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+        valid = (col_ids != row_ids) & col_valid & (row_ids < n_valid)
+        w = jnp.where(valid, w, 0.0)
+        z_part = jnp.sum(w)
+        w2 = w * w
+        s2 = jnp.sum(w2, axis=1)
+        rep = s2[:, None] * yb - jnp.dot(
+            w2, y, preferred_element_type=jnp.float32)
+        return rep, z_part
+
+    rep, z_parts = jax.lax.map(row_block, jnp.arange(num_blocks))
+    return rep.reshape(npad, dim), jnp.sum(z_parts)
+
+
+@jax.jit
+def _attractive_forces(y: jax.Array, p_idx: jax.Array, p_val: jax.Array):
+    """Sparse attraction: sum_j p_ij w_ij (y_i - y_j) over P's support."""
+    yj = y[jnp.maximum(p_idx, 0)]                 # [Np, R, 2]
+    diff = y[:, None, :] - yj
+    d2 = jnp.sum(diff * diff, axis=-1)
+    w = 1.0 / (1.0 + d2)
+    coef = jnp.where(p_idx >= 0, p_val * w, 0.0)
+    return jnp.sum(coef[:, :, None] * diff, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "iters"))
+def tsne_iterations(y, vel, gain, it0, p_idx, p_val, n_valid,
+                    params_vec, iters: int, block: int):
+    """Run `iters` gradient-descent steps (jitted inner loop).
+
+    params_vec: [eta, momentum, final_momentum, mom_switch, exag_factor,
+                 remove_exag, decay_iter, min_gain] as f32.
+    """
+    (eta, mom0, mom1, mom_switch, exag_f, remove_exag, decay_iter,
+     min_gain) = [params_vec[i] for i in range(8)]
+
+    def body(carry, _):
+        y, vel, gain, it = carry
+        itf = it.astype(jnp.float32)
+        # exaggeration schedule: constant, then exponential decay to 1
+        decay = jnp.exp(-4.6 * jnp.maximum(itf - remove_exag, 0.0)
+                        / jnp.maximum(decay_iter, 1.0))
+        exag = 1.0 + (exag_f - 1.0) * jnp.where(itf < remove_exag, 1.0,
+                                                decay)
+        momentum = jnp.where(itf < mom_switch, mom0, mom1)
+
+        attr = _attractive_forces(y, p_idx, p_val)
+        rep, z = _repulsive_forces(y, n_valid, block)
+        grad = 4.0 * (exag * attr - rep / jnp.maximum(z, 1e-12))
+
+        same_sign = jnp.sign(grad) == jnp.sign(vel)
+        gain = jnp.where(same_sign, gain * 0.8, gain + 0.2)
+        gain = jnp.maximum(gain, min_gain)
+        vel = momentum * vel - eta * gain * grad
+        y = y + vel
+        row_valid = (jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
+                     < n_valid)
+        y = jnp.where(row_valid, y, 0.0)
+        # zero-mean each iteration (bhtsne/HDILib do the same): per-point
+        # gains break force symmetry, so without centering the whole cloud
+        # acquires a runaway translation that destroys f32 precision
+        mean = (jnp.sum(y, axis=0, keepdims=True)
+                / jnp.maximum(n_valid.astype(jnp.float32), 1.0))
+        y = jnp.where(row_valid, y - mean, 0.0)
+        return (y, vel, gain, it + 1), None
+
+    (y, vel, gain, it), _ = jax.lax.scan(body, (y, vel, gain, it0), None,
+                                         length=iters)
+    return y, vel, gain, it
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def tsne_kl_divergence(y, p_idx, p_val, n_valid, block: int):
+    """KL(P || Q) over P's support: sum p log(p / q), q = w / Z."""
+    _, z = _repulsive_forces(y, n_valid, block)
+    yj = y[jnp.maximum(p_idx, 0)]
+    diff = y[:, None, :] - yj
+    d2 = jnp.sum(diff * diff, axis=-1)
+    w = 1.0 / (1.0 + d2)
+    valid = (p_idx >= 0) & (p_val > 0)
+    q = jnp.maximum(w / jnp.maximum(z, 1e-12), 1e-38)
+    p = jnp.maximum(p_val, 1e-38)
+    kl = jnp.where(valid, p_val * (jnp.log(p) - jnp.log(q)), 0.0)
+    return jnp.sum(kl)
+
+
+class TsneComputation:
+    """Reference: sph/EmbedTsne.hpp:62 TsneComputation — compute /
+    continueGradientDescent / stop, with a probability distribution or a kNN
+    graph as input."""
+
+    def __init__(self, params: Optional[TsneParameters] = None,
+                 block: int = 512):
+        self.params = params or TsneParameters()
+        self._block = block
+        self._p: Optional[SparseRows] = None
+        self._knn = None
+        self._state: Optional[TsneState] = None
+        self._n = 0
+        self._initial_embedding: Optional[np.ndarray] = None
+        self._should_stop = False
+        self._initialized = False
+
+    # ------------------------------------------------------------------
+
+    def set_probability_distribution(self, p: SparseRows):
+        """P must already be row-normalized / symmetrized upstream
+        (reference: setProbabilityDistribution, EmbedTsne.cpp:294-301)."""
+        self._p = p
+        self._knn = None
+        self._n = p.num_rows
+        self._initialized = False
+
+    def set_neighbor_graph(self, indices: np.ndarray, distances: np.ndarray):
+        """Compute P from a kNN graph (reference: initProbabilityDistribution
+        EmbedTsne.cpp:96-123 — Gaussian rows with the configured
+        perplexity)."""
+        self._knn = (indices, distances)
+        self._p = None
+        self._n = indices.shape[0]
+        self._initialized = False
+
+    def set_initial_embedding(self, emb: np.ndarray):
+        if emb.shape[0] != self._n:
+            Log.warn("TsneComputation: initial embedding has wrong size, "
+                     "ignoring")
+            return
+        self._initial_embedding = np.asarray(emb, dtype=np.float32)
+
+    def stop(self):
+        self._should_stop = True
+
+    def reset_stop(self):
+        self._should_stop = False
+
+    # ------------------------------------------------------------------
+
+    def _ensure_p(self):
+        if self._p is not None:
+            return
+        from ..ops.distributions import gaussian_row_distributions
+        idx, dist = self._knn
+        mask = idx >= 0
+        p = gaussian_row_distributions(
+            jnp.asarray(np.where(mask, dist, 0.0) ** 2), jnp.asarray(mask),
+            jnp.float32(self.params.perplexity), ignore_first=True)
+        p_rows = SparseRows(np.where(mask, idx, -1).astype(np.int32),
+                            np.asarray(p), self._n)
+        from ..ops.sparse import symmetrize_tsne
+        self._p = symmetrize_tsne(p_rows)
+
+    def _init_gradient_descent(self):
+        self._ensure_p()
+        n = self._n
+        exag = default_exaggeration(n)
+        self.params.exaggeration_factor = exag
+        Log.info("t-SNE: exaggeration %.2f for %d iters, decay over %d",
+                 exag, self.params.remove_exaggeration_iter,
+                 self.params.exponential_decay_iter)
+
+        block = min(self._block, _ceil_to(n, 8))
+        npad = _ceil_to(n, block)
+        self._block_eff = block
+        self._npad = npad
+
+        if self._initial_embedding is None:
+            from ..ops.math import random_disk_init
+            self._initial_embedding = random_disk_init(n, 0.1, seed=0)
+        y = np.zeros((npad, 2), dtype=np.float32)
+        y[:n] = self._initial_embedding
+
+        # P normalized so the whole matrix sums to 1 (HDILib joint-P
+        # convention); rows arrive summing to ~1 each after symmetrization
+        total = self._p.row_sums().sum()
+        pv = (self._p.values / max(total, 1e-12)).astype(np.float32)
+        p_idx = np.full((npad, self._p.width), -1, dtype=np.int32)
+        p_val = np.zeros((npad, self._p.width), dtype=np.float32)
+        p_idx[:n] = self._p.indices
+        p_val[:n] = pv
+
+        self._p_idx = jnp.asarray(p_idx)
+        self._p_val = jnp.asarray(p_val)
+        self._state = TsneState(
+            embedding=jnp.asarray(y),
+            velocity=jnp.zeros((npad, 2), jnp.float32),
+            gain=jnp.ones((npad, 2), jnp.float32),
+            iteration=0)
+        self._initialized = True
+
+    def _params_vec(self) -> jax.Array:
+        p = self.params
+        return jnp.asarray([p.eta, p.momentum, p.final_momentum,
+                            p.mom_switching_iter, p.exaggeration_factor,
+                            p.remove_exaggeration_iter,
+                            p.exponential_decay_iter, p.minimum_gain],
+                           jnp.float32)
+
+    def compute(self, iterations: Optional[int] = None, verbose: bool = True):
+        """Reference: TsneComputation::compute (EmbedTsne.cpp:267-283)."""
+        if self._n == 1:
+            self._single_point()
+            return
+        self._should_stop = False
+        if not self._initialized:
+            self._init_gradient_descent()
+        self.continue_gradient_descent(
+            iterations if iterations is not None
+            else self.params.num_iterations, verbose)
+
+    def continue_gradient_descent(self, iterations: int,
+                                  verbose: bool = True):
+        if self._n == 1 or self._should_stop or iterations < 1:
+            return
+        if not self._initialized:
+            self._init_gradient_descent()
+        s = self._state
+        y, vel, gain, it = tsne_iterations(
+            s.embedding, s.velocity, s.gain, jnp.int32(s.iteration),
+            self._p_idx, self._p_val, jnp.int32(self._n),
+            self._params_vec(), iterations, self._block_eff)
+        self._state = TsneState(y, vel, gain, int(s.iteration) + iterations)
+
+    def _single_point(self):
+        self._state = TsneState(jnp.zeros((1, 2), jnp.float32),
+                                jnp.zeros((1, 2), jnp.float32),
+                                jnp.ones((1, 2), jnp.float32), 0)
+        self._npad = 1
+        self._initialized = True
+
+    # ------------------------------------------------------------------
+
+    @property
+    def embedding(self) -> np.ndarray:
+        return np.asarray(self._state.embedding)[:self._n]
+
+    @property
+    def current_iteration(self) -> int:
+        return self._state.iteration if self._state else 0
+
+    def kl_divergence(self) -> float:
+        if self._n <= 1:
+            return 0.0
+        return float(tsne_kl_divergence(
+            self._state.embedding, self._p_idx, self._p_val,
+            jnp.int32(self._n), self._block_eff))

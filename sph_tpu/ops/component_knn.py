@@ -1,0 +1,262 @@
+"""Exact kNN in component metric spaces.
+
+Reference: sph/LevelSimilarities.cpp computeNearestNeighborOnLevel
+(:191-442) — per-level kNN over components whose "vectors" are
+ComponentID{level, id} structs, searched either exactly (O(n^2) loop,
+:211-252) or via hnswlib HNSW with the 5 custom SpaceInterface adapters
+(sph/utils/*Space.hpp).
+
+TPU-first redesign: component counts shrink geometrically per level, so the
+exact O(C^2) computation is cheap *if* it is laid out as blocked matmuls:
+
+* NEIGH_OVERLAP      -> 0/1 membership matrix product M M^T on the MXU
+* NEIGH_WALKS        -> sqrt-walk product (Bhattacharyya) on the MXU
+* NEIGH_WALKS_SINGLE -> max(W, W^T) from densified walk blocks
+* EUCLID_CENTROID    -> blocked sampled-point Hausdorff (batched matmuls)
+* GEO_*              -> SSSP fields (ops/shortest_path) + Hausdorff gather
+
+Each returns a fixed-k distance graph (indices [C, k], distances [C, k],
+ascending, self first) — the exact analogue of the reference's per-level
+`_distanceGraphs`.  HNSW is unnecessary: the MXU evaluates the full matrix
+faster than an index could be built.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.logging import Log
+from .graph import ensure_self_first
+from .sparse import SparseRows
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _topk_from_dist_blocks(dist_fn, c: int, k: int, block: int
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Stream row blocks of a [C, C] distance matrix through top-k.
+
+    dist_fn(r0) -> [block, C] distances for rows [r0*block, (r0+1)*block).
+    """
+    cpad = _ceil_to(c, block)
+    num_blocks = cpad // block
+
+    def row_block(rb):
+        d = dist_fn(rb)
+        neg, sel = jax.lax.top_k(-d, k)
+        return -neg, sel
+
+    dists, ids = jax.lax.map(row_block, jnp.arange(num_blocks))
+    return (np.asarray(ids.reshape(cpad, k))[:c],
+            np.asarray(dists.reshape(cpad, k))[:c])
+
+
+# ---------------------------------------------------------------------------
+# NEIGH_OVERLAP
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def _overlap_knn(members: jax.Array, counts: jax.Array, n_valid, k: int,
+                 block: int):
+    """members: [Cpad, N] 0/1 membership; sim = |A^B| / min(|A|,|B|);
+    dist = 1 - sim (reference: NeighborOverlapSpace.hpp:31-42)."""
+    cpad, n = members.shape
+    num_blocks = cpad // block
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cpad), 1)
+
+    def row_block(rb):
+        rows = jax.lax.dynamic_slice_in_dim(members, rb * block, block)
+        inter = jnp.dot(rows, members.T, preferred_element_type=jnp.float32,
+                        precision=_HP)                       # [block, Cpad]
+        rc = jax.lax.dynamic_slice_in_dim(counts, rb * block, block)
+        m = jnp.minimum(rc[:, None], counts[None, :])
+        sim = jnp.where(m > 0, inter / jnp.maximum(m, 1.0), 0.0)
+        dist = 1.0 - sim
+        row_ids = (jax.lax.broadcasted_iota(jnp.int32, dist.shape, 0)
+                   + rb * block)
+        dist = jnp.where(col_ids == row_ids, 0.0, dist)
+        dist = jnp.where(col_ids >= n_valid, jnp.inf, dist)
+        neg, sel = jax.lax.top_k(-dist, k)
+        return -neg, sel
+
+    dists, ids = jax.lax.map(row_block, jnp.arange(num_blocks))
+    return ids.reshape(cpad, k), dists.reshape(cpad, k)
+
+
+def knn_neighbor_overlap(unions: SparseRows, k: int, block: int = 256
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    c = unions.num_rows
+    n = unions.num_cols
+    block = min(block, _ceil_to(c, 8))
+    cpad = _ceil_to(c, block)
+    members = np.zeros((cpad, n), dtype=np.float32)
+    mask = unions.mask
+    rows = np.broadcast_to(np.arange(c)[:, None], unions.indices.shape)[mask]
+    members[rows, unions.indices[mask]] = 1.0
+    counts = np.zeros(cpad, dtype=np.float32)
+    counts[:c] = unions.row_nnz()
+    ids, dists = _overlap_knn(jnp.asarray(members), jnp.asarray(counts),
+                              jnp.int32(c), min(k, c), block)
+    return _finalize(np.asarray(ids)[:c], np.asarray(dists)[:c])
+
+
+# ---------------------------------------------------------------------------
+# NEIGH_WALKS (Bhattacharyya) and SINGLE_OVERLAP
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "block", "single"))
+def _walks_knn(indices: jax.Array, values: jax.Array, n_valid, k: int,
+               block: int, single: bool):
+    cpad, r = indices.shape
+    num_blocks = cpad // block
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cpad), 1)
+
+    def densify(b, sqrt_vals):
+        idx = jax.lax.dynamic_slice_in_dim(indices, b * block, block)
+        val = jax.lax.dynamic_slice_in_dim(values, b * block, block)
+        v = jnp.sqrt(jnp.maximum(val, 0.0)) if sqrt_vals else val
+        dense = jnp.zeros((block, cpad), jnp.float32)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (block, r), 0)
+        safe = jnp.where(idx < 0, 0, idx)
+        v = jnp.where(idx < 0, 0.0, v)
+        return dense.at[rr, safe].add(v)
+
+    if single:
+        # sim = max(w[a, b], w[b, a]); need the full dense W columns too —
+        # densify all rows once (C is small at the levels where this runs)
+        full = jnp.zeros((cpad, cpad), jnp.float32)
+        rr = jax.lax.broadcasted_iota(jnp.int32, indices.shape, 0)
+        safe = jnp.where(indices < 0, 0, indices)
+        v = jnp.where(indices < 0, 0.0, values)
+        full = full.at[rr, safe].add(v)
+        sim = jnp.maximum(full, full.T)
+        dist = 1.0 - sim
+        diag = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 0) == (
+            jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1))
+        dist = jnp.where(diag, 0.0, dist)
+        dist = jnp.where(col_ids >= n_valid, jnp.inf, dist)
+        neg, sel = jax.lax.top_k(-dist, k)
+        return sel, -neg
+
+    sqrt_all = jnp.zeros((cpad, cpad), jnp.float32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, indices.shape, 0)
+    safe = jnp.where(indices < 0, 0, indices)
+    v = jnp.sqrt(jnp.maximum(jnp.where(indices < 0, 0.0, values), 0.0))
+    sqrt_all = sqrt_all.at[rr, safe].add(v)
+
+    def row_block(rb):
+        rows = jax.lax.dynamic_slice_in_dim(sqrt_all, rb * block, block)
+        bc = jnp.dot(rows, sqrt_all.T, preferred_element_type=jnp.float32,
+                     precision=_HP)
+        dist = 1.0 - jnp.minimum(bc, 1.0)
+        row_ids = (jax.lax.broadcasted_iota(jnp.int32, dist.shape, 0)
+                   + rb * block)
+        dist = jnp.where(col_ids == row_ids, 0.0, dist)
+        dist = jnp.where(col_ids >= n_valid, jnp.inf, dist)
+        neg, sel = jax.lax.top_k(-dist, k)
+        return -neg, sel
+
+    dists, ids = jax.lax.map(row_block, jnp.arange(num_blocks))
+    return ids.reshape(cpad, k), dists.reshape(cpad, k)
+
+
+def knn_walks(walks: SparseRows, k: int, single_overlap: bool = False,
+              block: int = 256) -> Tuple[np.ndarray, np.ndarray]:
+    """dist = 1 - BC (NeighborWalksBhattacharyyaSpace) or 1 - max transition
+    (NeighborWalksSingleOverlapSpace)."""
+    c = walks.num_rows
+    block = min(block, _ceil_to(c, 8))
+    cpad = _ceil_to(c, block)
+    idx = np.full((cpad, walks.width), -1, dtype=np.int32)
+    val = np.zeros((cpad, walks.width), dtype=np.float32)
+    idx[:c] = walks.indices
+    val[:c] = walks.values
+    ids, dists = _walks_knn(jnp.asarray(idx), jnp.asarray(val),
+                            jnp.int32(c), min(k, c), block, single_overlap)
+    return _finalize(np.asarray(ids)[:c], np.asarray(dists)[:c])
+
+
+# ---------------------------------------------------------------------------
+# EUCLID_CENTROID: sampled-point Hausdorff matrix
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def _hausdorff_knn(points: jax.Array, mask: jax.Array, n_valid, k: int,
+                   block: int):
+    """points: [Cpad, S, D] sampled representative points, mask [Cpad, S].
+
+    Hausdorff over sampled sets, blocked over row components; the inner
+    [block*S, Cpad*S] distance product runs on the MXU.
+    """
+    cpad, s, d = points.shape
+    num_blocks = cpad // block
+    flat = points.reshape(cpad * s, d)
+    flat_sq = jnp.sum(flat * flat, axis=1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cpad), 1)
+
+    def row_block(rb):
+        rows = jax.lax.dynamic_slice_in_dim(points, rb * block, block)
+        rmask = jax.lax.dynamic_slice_in_dim(mask, rb * block, block)
+        rflat = rows.reshape(block * s, d)
+        rsq = jnp.sum(rflat * rflat, axis=1)
+        ip = jnp.dot(rflat, flat.T, preferred_element_type=jnp.float32,
+                     precision=_HP)
+        d2 = jnp.maximum(rsq[:, None] + flat_sq[None, :] - 2.0 * ip, 0.0)
+        dist = jnp.sqrt(d2).reshape(block, s, cpad, s)
+        pair_ok = (rmask[:, :, None, None] & mask.T[None, None].reshape(
+            1, 1, cpad, s))
+        dist_inf = jnp.where(pair_ok, dist, jnp.inf)
+        # h1: max over row samples of min over col samples
+        m1 = jnp.min(dist_inf, axis=3)                       # [block,S,Cpad]
+        m1 = jnp.where(rmask[:, :, None], m1, -jnp.inf)
+        h1 = jnp.max(m1, axis=1)                             # [block, Cpad]
+        m2 = jnp.min(dist_inf, axis=1)                       # [block,Cpad,S]
+        m2 = jnp.where(mask[None], m2, -jnp.inf)
+        h2 = jnp.max(m2, axis=2)
+        h = jnp.maximum(h1, h2)
+        row_ids = (jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+                   + rb * block)
+        h = jnp.where(col_ids == row_ids, 0.0, h)
+        h = jnp.where(col_ids >= n_valid, jnp.inf, h)
+        neg, sel = jax.lax.top_k(-h, k)
+        return -neg, sel
+
+    dists, ids = jax.lax.map(row_block, jnp.arange(num_blocks))
+    return ids.reshape(cpad, k), dists.reshape(cpad, k)
+
+
+def knn_hausdorff(data: np.ndarray, rep_samples: np.ndarray, k: int,
+                  block: int = 32) -> Tuple[np.ndarray, np.ndarray]:
+    """rep_samples: [C, S] padded (-1) data-point ids per component."""
+    c, s = rep_samples.shape
+    block = min(block, _ceil_to(c, 8))
+    cpad = _ceil_to(c, block)
+    samples = np.full((cpad, s), -1, dtype=np.int64)
+    samples[:c] = rep_samples
+    mask = samples >= 0
+    pts = data[np.maximum(samples, 0)]
+    pts = np.where(mask[:, :, None], pts, 0.0).astype(np.float32)
+    ids, dists = _hausdorff_knn(jnp.asarray(pts), jnp.asarray(mask),
+                                jnp.int32(c), min(k, c), block)
+    return _finalize(np.asarray(ids)[:c], np.asarray(dists)[:c])
+
+
+# ---------------------------------------------------------------------------
+
+def _finalize(ids: np.ndarray, dists: np.ndarray
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Self-first + ascending invariant for the per-level distance graph
+    (the reference gets this from sorted exact search + ComponentID self
+    distance 0)."""
+    ids, dists, _ = ensure_self_first(ids.astype(np.int32),
+                                      dists.astype(np.float32))
+    return ids, dists

@@ -13,3 +13,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# persistent compilation cache: per-level shapes recompile otherwise
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_sph")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)

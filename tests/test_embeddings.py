@@ -1,0 +1,131 @@
+"""Embedding engine tests: t-SNE KL decrease + cluster separation, UMAP
+structure preservation (the reference validates via HDILib/umappp internals;
+here: quality-of-result invariants on seeded blob data)."""
+
+import numpy as np
+import pytest
+
+from sph_tpu.models.compute_embedding import (ComputeEmbedding,
+                                              ComputeEmbeddingSettings)
+from sph_tpu.models.tsne import (TsneComputation, TsneParameters,
+                                 default_exaggeration)
+from sph_tpu.models.umap import (UmapComputation, UmapParameters,
+                                 choose_num_epochs, find_ab,
+                                 make_epochs_per_sample)
+from sph_tpu.ops.knn import knn_bruteforce
+from sph_tpu.ops.sparse import SparseRows, symmetrize_tsne
+from sph_tpu.ops.distributions import gaussian_row_distributions
+from sph_tpu.utils.testdata import create_3d_gaussians
+
+import jax.numpy as jnp
+
+
+def blob_probdist(n=120, k=15, seed=4):
+    centers = np.array([[0, 0, 0], [12, 0, 0], [0, 12, 0]])
+    pos, labels = create_3d_gaussians(n, random_state=seed, centers=centers)
+    idx, dist = knn_bruteforce(pos, k)
+    mask = np.ones_like(idx, dtype=bool)
+    p = gaussian_row_distributions(jnp.asarray(dist ** 2), jnp.asarray(mask),
+                                   jnp.float32((k - 1) / 3), ignore_first=True)
+    rows = SparseRows(idx.astype(np.int32), np.asarray(p), n)
+    return symmetrize_tsne(rows), labels, pos
+
+
+def cluster_separation(emb, labels):
+    """Mean inter-centroid distance / mean intra-cluster spread."""
+    cents = np.stack([emb[labels == c].mean(0) for c in np.unique(labels)])
+    intra = np.mean([np.linalg.norm(emb[labels == c] - cents[i], axis=1).mean()
+                     for i, c in enumerate(np.unique(labels))])
+    inter = np.mean([np.linalg.norm(cents[i] - cents[j])
+                     for i in range(len(cents)) for j in range(i)])
+    return inter / max(intra, 1e-9)
+
+
+def test_default_exaggeration():
+    # reference: clamp(4 + N/60000, 4, 20) (EmbedTsne.cpp:138-139)
+    assert np.isclose(default_exaggeration(1000), 4.0 + 1000 / 60000)
+    assert np.isclose(default_exaggeration(600_000), 14.0)
+    assert default_exaggeration(10_000_000) == 20.0
+
+
+def test_tsne_kl_decreases_and_separates():
+    p, labels, _ = blob_probdist()
+    params = TsneParameters(num_iterations=400,
+                            remove_exaggeration_iter=150,
+                            mom_switching_iter=150)
+    tsne = TsneComputation(params, block=64)
+    tsne.set_probability_distribution(p)
+    tsne.compute(50, verbose=False)
+    kl_early = tsne.kl_divergence()
+    tsne.continue_gradient_descent(350, verbose=False)
+    kl_late = tsne.kl_divergence()
+    assert np.isfinite(kl_early) and np.isfinite(kl_late)
+    assert kl_late < kl_early
+    emb = tsne.embedding
+    assert emb.shape == (120, 2)
+    assert np.all(np.isfinite(emb))
+    assert cluster_separation(emb, labels) > 2.0
+
+
+def test_tsne_deterministic():
+    p, _, _ = blob_probdist()
+    outs = []
+    for _ in range(2):
+        t = TsneComputation(TsneParameters(num_iterations=100), block=64)
+        t.set_probability_distribution(p)
+        t.set_initial_embedding(np.linspace(
+            -0.1, 0.1, 240, dtype=np.float32).reshape(120, 2))
+        t.compute(100, verbose=False)
+        outs.append(t.embedding)
+    assert np.allclose(outs[0], outs[1])
+
+
+def test_tsne_single_point():
+    emb_settings = ComputeEmbeddingSettings()
+    ce = ComputeEmbedding(emb_settings)
+    p = SparseRows.from_dense(np.array([[1.0]], np.float32))
+    out = ce.compute_tsne(p)
+    assert out.shape == (1, 2)
+    assert np.all(out == 0)
+
+
+def test_find_ab_defaults():
+    a, b = find_ab(1.0, 0.1)
+    # umap-learn canonical values for spread=1, min_dist=0.1
+    assert np.isclose(a, 1.577, atol=0.05)
+    assert np.isclose(b, 0.8951, atol=0.02)
+
+
+def test_choose_num_epochs():
+    assert choose_num_epochs(250, 100) == 250
+    assert choose_num_epochs(-1, 100) == 500
+    assert choose_num_epochs(-1, 100_000) == 200
+
+
+def test_make_epochs_per_sample():
+    w = np.array([1.0, 0.5, 0.1])
+    eps = make_epochs_per_sample(w, 100)
+    assert np.allclose(eps, [1.0, 2.0, 10.0])
+
+
+def test_umap_separates_blobs():
+    p, labels, _ = blob_probdist()
+    umap = UmapComputation(UmapParameters(num_epochs=150, seed=3))
+    umap.set_neighbor_matrix(p)
+    umap.compute()
+    emb = umap.embedding
+    assert emb.shape == (120, 2)
+    assert np.all(np.isfinite(emb))
+    assert cluster_separation(emb, labels) > 1.5
+
+
+def test_compute_embedding_facade():
+    p, labels, _ = blob_probdist()
+    s = ComputeEmbeddingSettings()
+    s.tsne.num_iterations = 150
+    ce = ComputeEmbedding(s)
+    emb = ce.compute_tsne(p, track_kl=True)
+    assert emb.shape == (120, 2)
+    assert ce.last_kl is not None and np.isfinite(ce.last_kl)
+    emb2 = ce.compute_umap(p)
+    assert emb2.shape == (120, 2)
