@@ -1,0 +1,257 @@
+"""Sharded compute paths: multi-chip kNN and t-SNE.
+
+The O(N^2) kernels shard their *row* dimension over the ``data`` mesh axis:
+
+* kNN: each chip scores its row block against the replicated (or gathered)
+  point set — no cross-chip reduction needed beyond the initial layout.
+* t-SNE: the repulsive sum for a row shard needs every embedding position
+  (y is only [N, 2]) — one `all_gather` per iteration over ICI — and the
+  normalization Z is a `psum`.  This is the textbook data-parallel N-body
+  decomposition; the reference has no analogue (its only accelerator path
+  is a single-GPU GL shader, EmbedTsne.hpp:64-67).
+
+Multi-scene batching (`multi_scene_tsne`) shards independent scenes over the
+same axis — the BASELINE.json "16 hyperspectral stacks on v5e-16" config.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from .mesh import make_mesh, replicate, shard_rows
+
+
+# ---------------------------------------------------------------------------
+# sharded kNN
+# ---------------------------------------------------------------------------
+
+def sharded_knn(data: np.ndarray, k: int, mesh: Optional[Mesh] = None,
+                axis: str = "data") -> Tuple[np.ndarray, np.ndarray]:
+    """Exact kNN with rows sharded over the mesh.
+
+    Each device holds a row shard and the full point set (replicated);
+    distances + top-k are purely local, so scaling is embarrassingly
+    parallel over ICI-connected chips.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    n, d = data.shape
+    npad = ((n + (8 * n_dev) - 1) // (8 * n_dev)) * (8 * n_dev)
+    padded = np.zeros((npad, d), dtype=np.float32)
+    padded[:n] = data
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P()),
+        out_specs=(P(axis, None), P(axis, None)))
+    def _local_knn(rows, full):
+        row_sq = jnp.sum(rows * rows, axis=1)
+        full_sq = jnp.sum(full * full, axis=1)
+        ip = jnp.dot(rows, full.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.maximum(row_sq[:, None] + full_sq[None, :] - 2.0 * ip, 0.0)
+        # pad columns out of the running
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        d2 = jnp.where(col_ids >= n, jnp.inf, d2)
+        neg, sel = jax.lax.top_k(-d2, k)
+        return jnp.sqrt(jnp.maximum(-neg, 0.0)), sel
+
+    rows_sharded = shard_rows(mesh, jnp.asarray(padded), axis)
+    full_repl = replicate(mesh, jnp.asarray(padded))
+    dist, idx = jax.jit(_local_knn)(rows_sharded, full_repl)
+    idx = np.asarray(idx)[:n]
+    dist = np.asarray(dist)[:n]
+    from ..ops.graph import ensure_self_first
+    idx, dist, _ = ensure_self_first(idx.astype(np.int32),
+                                     dist.astype(np.float32))
+    return idx, dist
+
+
+# ---------------------------------------------------------------------------
+# sharded t-SNE training step
+# ---------------------------------------------------------------------------
+
+def make_sharded_tsne_step(mesh: Mesh, axis: str = "data"):
+    """Build the jitted multi-chip t-SNE step.
+
+    State layout: y/vel/gain [N, 2] row-sharded; P rows [N, R] row-sharded;
+    per-iteration: all_gather(y) -> local [shard, N] repulsion -> psum(Z).
+
+    Returns step_fn(y, vel, gain, p_idx, p_val, n_valid, params_vec, it)
+    -> (y, vel, gain).  All shapes must be divisible by the mesh size.
+    """
+
+    def _step(y, vel, gain, p_idx, p_val, n_valid, params_vec, it):
+        (eta, mom0, mom1, mom_switch, exag_f, remove_exag, decay_iter,
+         min_gain) = [params_vec[i] for i in range(8)]
+        shard_n = y.shape[0]
+        my_idx = jax.lax.axis_index(axis)
+        row0 = my_idx * shard_n
+
+        y_full = jax.lax.all_gather(y, axis, tiled=True)  # [Npad, 2]
+
+        # repulsion: local rows vs all columns
+        sq_full = jnp.sum(y_full * y_full, axis=1)
+        sq_loc = jnp.sum(y * y, axis=1)
+        d2 = (sq_loc[:, None] + sq_full[None, :]
+              - 2.0 * jnp.dot(y, y_full.T,
+                              preferred_element_type=jnp.float32))
+        w = 1.0 / (1.0 + jnp.maximum(d2, 0.0))
+        rows = (jax.lax.broadcasted_iota(jnp.int32, w.shape, 0) + row0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+        valid = (cols != rows) & (cols < n_valid) & (rows < n_valid)
+        w = jnp.where(valid, w, 0.0)
+        z = jax.lax.psum(jnp.sum(w), axis)
+        w2 = w * w
+        rep = (jnp.sum(w2, axis=1)[:, None] * y
+               - jnp.dot(w2, y_full, preferred_element_type=jnp.float32))
+
+        # attraction over local P rows (global column ids)
+        yj = y_full[jnp.maximum(p_idx, 0)]
+        diff = y[:, None, :] - yj
+        dd = jnp.sum(diff * diff, axis=-1)
+        wat = 1.0 / (1.0 + dd)
+        coef = jnp.where(p_idx >= 0, p_val * wat, 0.0)
+        attr = jnp.sum(coef[:, :, None] * diff, axis=1)
+
+        itf = it.astype(jnp.float32)
+        decay = jnp.exp(-4.6 * jnp.maximum(itf - remove_exag, 0.0)
+                        / jnp.maximum(decay_iter, 1.0))
+        exag = 1.0 + (exag_f - 1.0) * jnp.where(itf < remove_exag, 1.0,
+                                                decay)
+        momentum = jnp.where(itf < mom_switch, mom0, mom1)
+
+        grad = 4.0 * (exag * attr - rep / jnp.maximum(z, 1e-12))
+        same = jnp.sign(grad) == jnp.sign(vel)
+        gain = jnp.maximum(jnp.where(same, gain * 0.8, gain + 0.2),
+                           min_gain)
+        vel = momentum * vel - eta * gain * grad
+        y = y + vel
+        row_ok = rows[:, :1] < n_valid
+        y = jnp.where(row_ok, y, 0.0)
+        # global zero-mean via psum
+        mean = jax.lax.psum(jnp.sum(y, axis=0), axis) / jnp.maximum(
+            n_valid.astype(jnp.float32), 1.0)
+        y = jnp.where(row_ok, y - mean[None, :], 0.0)
+        return y, vel, gain
+
+    step = shard_map(
+        _step, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                  P(axis, None), P(axis, None), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None)))
+    return jax.jit(step)
+
+
+def sharded_tsne(p_indices: np.ndarray, p_values: np.ndarray,
+                 num_iterations: int, mesh: Optional[Mesh] = None,
+                 axis: str = "data", seed: int = 0,
+                 params=None) -> np.ndarray:
+    """Run a full multi-chip t-SNE (P must be the symmetrized joint
+    distribution rows, normalized to total sum 1)."""
+    from ..models.tsne import TsneParameters, default_exaggeration
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    n, r = p_indices.shape
+    npad = ((n + (8 * n_dev) - 1) // (8 * n_dev)) * (8 * n_dev)
+
+    params = params or TsneParameters()
+    params.exaggeration_factor = default_exaggeration(n)
+    pvec = jnp.asarray([params.eta, params.momentum, params.final_momentum,
+                        params.mom_switching_iter,
+                        params.exaggeration_factor,
+                        params.remove_exaggeration_iter,
+                        params.exponential_decay_iter,
+                        params.minimum_gain], jnp.float32)
+
+    from ..ops.math import random_disk_init
+    y0 = np.zeros((npad, 2), np.float32)
+    y0[:n] = random_disk_init(n, 0.1, seed)
+    pi = np.full((npad, r), -1, np.int32)
+    pv = np.zeros((npad, r), np.float32)
+    pi[:n] = p_indices
+    pv[:n] = p_values / max(p_values.sum(), 1e-12)
+
+    y = shard_rows(mesh, jnp.asarray(y0), axis)
+    vel = shard_rows(mesh, jnp.zeros((npad, 2), jnp.float32), axis)
+    gain = shard_rows(mesh, jnp.ones((npad, 2), jnp.float32), axis)
+    pi_s = shard_rows(mesh, jnp.asarray(pi), axis)
+    pv_s = shard_rows(mesh, jnp.asarray(pv), axis)
+
+    step = make_sharded_tsne_step(mesh, axis)
+    for it in range(num_iterations):
+        y, vel, gain = step(y, vel, gain, pi_s, pv_s, jnp.int32(n), pvec,
+                            jnp.int32(it))
+    return np.asarray(y)[:n]
+
+
+# ---------------------------------------------------------------------------
+# multi-scene batched embedding (BASELINE config #5)
+# ---------------------------------------------------------------------------
+
+def multi_scene_tsne(p_indices: np.ndarray, p_values: np.ndarray,
+                     num_iterations: int, mesh: Optional[Mesh] = None,
+                     axis: str = "data", seed: int = 0) -> np.ndarray:
+    """Batched t-SNE over S independent scenes sharded across devices.
+
+    p_indices/p_values: [S, N, R] per-scene symmetric P rows.  Each scene
+    runs the full single-chip iteration locally on its device — pure data
+    parallelism over scenes (the reference runs scenes serially,
+    RunEvaluation.cpp main loop).
+    """
+    from ..models.tsne import TsneParameters, default_exaggeration, \
+        tsne_iterations
+    from ..ops.math import random_disk_init
+    if mesh is None:
+        mesh = make_mesh()
+    s, n, r = p_indices.shape
+    params = TsneParameters()
+    params.exaggeration_factor = default_exaggeration(n)
+    pvec = jnp.asarray([params.eta, params.momentum, params.final_momentum,
+                        params.mom_switching_iter,
+                        params.exaggeration_factor,
+                        params.remove_exaggeration_iter,
+                        params.exponential_decay_iter,
+                        params.minimum_gain], jnp.float32)
+
+    npad = ((n + 7) // 8) * 8
+    y0 = np.zeros((s, npad, 2), np.float32)
+    for i in range(s):
+        y0[i, :n] = random_disk_init(n, 0.1, seed + i)
+    pi = np.full((s, npad, r), -1, np.int32)
+    pv = np.zeros((s, npad, r), np.float32)
+    pi[:, :n] = p_indices
+    pv[:, :n] = p_values / np.maximum(
+        p_values.sum(axis=(1, 2), keepdims=True), 1e-12)
+
+    block = min(512, npad)
+
+    def one_scene(y, vel, gain, p_i, p_v):
+        y, vel, gain, _ = tsne_iterations(
+            y, vel, gain, jnp.int32(0), p_i, p_v, jnp.int32(n), pvec,
+            num_iterations, block)
+        return y
+
+    batched = shard_map(
+        lambda ys, vs, gs, pis, pvs: jax.vmap(one_scene)(ys, vs, gs, pis,
+                                                         pvs),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis))
+
+    y = shard_rows(mesh, jnp.asarray(y0), axis)
+    vel = shard_rows(mesh, jnp.zeros_like(y0), axis)
+    gain = shard_rows(mesh, jnp.ones_like(y0), axis)
+    pi_s = shard_rows(mesh, jnp.asarray(pi), axis)
+    pv_s = shard_rows(mesh, jnp.asarray(pv), axis)
+    out = jax.jit(batched)(y, vel, gain, pi_s, pv_s)
+    return np.asarray(out)[:, :n]

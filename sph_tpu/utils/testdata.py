@@ -73,6 +73,38 @@ def create_3d_gaussians(n_samples: int = 1500, noise: float = 0.0,
     return pos.astype(np.float32), np.concatenate(lbl_list)
 
 
+def create_hyperspectral_scene(rows: int, cols: int, channels: int = 200,
+                               num_classes: int = 16, seed: int = 0,
+                               noise: float = 0.02) -> np.ndarray:
+    """Synthetic hyperspectral stack with Indian-Pines-like structure:
+    a smooth multi-region class map (voronoi over random seeds) with
+    per-class smooth spectral signatures plus noise.  Used to establish
+    benchmarks when the real TIFF stacks are not shipped (BASELINE.md —
+    the reference repo also ships no data)."""
+    rng = np.random.default_rng(seed)
+    # voronoi-ish region map
+    centers = rng.uniform(0, 1, (num_classes, 2))
+    centers[:, 0] *= rows
+    centers[:, 1] *= cols
+    rr, cc = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
+    d = ((rr[..., None] - centers[:, 0]) ** 2
+         + (cc[..., None] - centers[:, 1]) ** 2)
+    # jitter boundaries so regions are irregular
+    d = d * rng.uniform(0.7, 1.3, num_classes)
+    cls = np.argmin(d, axis=-1)
+    # smooth spectral signatures: sum of random gaussians over the band axis
+    bands = np.linspace(0, 1, channels)
+    sigs = np.zeros((num_classes, channels), dtype=np.float32)
+    for c in range(num_classes):
+        for _ in range(4):
+            mu, sg, amp = rng.uniform(0, 1), rng.uniform(0.03, 0.3), (
+                rng.uniform(0.2, 1.0))
+            sigs[c] += amp * np.exp(-0.5 * ((bands - mu) / sg) ** 2)
+    img = sigs[cls]  # [rows, cols, channels]
+    img = img + noise * rng.standard_normal(img.shape).astype(np.float32)
+    return img.astype(np.float32)
+
+
 def create_checker_image(rows: int, cols: int, channels: int = 3,
                          block: int = 2, noise: float = 0.0,
                          seed: int = 1) -> np.ndarray:

@@ -1,0 +1,112 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh:
+sharded kNN == single-chip kNN; sharded t-SNE matches the single-chip
+optimizer trajectory; multi-scene batching produces per-scene results."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from sph_tpu.ops.knn import knn_bruteforce
+from sph_tpu.ops.sparse import SparseRows
+from sph_tpu.parallel.mesh import make_mesh
+from sph_tpu.parallel.sharded import (multi_scene_tsne, sharded_knn,
+                                      sharded_tsne)
+from sph_tpu.utils.testdata import create_3d_gaussians
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_knn_matches_single():
+    pos, _ = create_3d_gaussians(300, random_state=2,
+                                 centers=np.array([[0, 0, 0], [6, 6, 6]]))
+    mesh = make_mesh()
+    idx_s, dist_s = sharded_knn(pos, 8, mesh)
+    idx_1, dist_1 = knn_bruteforce(pos, 8)
+    assert np.allclose(dist_s, dist_1, atol=1e-4)
+    assert np.all(idx_s[:, 0] == np.arange(300))
+
+
+def probdist(n=96, k=10, seed=3):
+    from sph_tpu.ops.distributions import gaussian_row_distributions
+    from sph_tpu.ops.sparse import symmetrize_tsne
+    import jax.numpy as jnp
+    pos, labels = create_3d_gaussians(
+        n, random_state=seed, centers=np.array([[0, 0, 0], [10, 0, 0]]))
+    idx, dist = knn_bruteforce(pos, k)
+    p = gaussian_row_distributions(jnp.asarray(dist ** 2),
+                                   jnp.ones_like(idx, dtype=bool),
+                                   jnp.float32(3.0), ignore_first=True)
+    return symmetrize_tsne(SparseRows(idx.astype(np.int32), np.asarray(p),
+                                      n)), labels
+
+
+def test_sharded_tsne_matches_single_chip():
+    """The multi-chip step must follow the single-chip optimizer trajectory
+    (same math, different reduction layout) before f32 chaos separates
+    them."""
+    import jax.numpy as jnp
+    from sph_tpu.models.tsne import (TsneParameters, default_exaggeration,
+                                     tsne_iterations)
+    from sph_tpu.parallel.sharded import make_sharded_tsne_step
+    from sph_tpu.parallel.mesh import shard_rows
+    from sph_tpu.ops.math import random_disk_init
+
+    p, labels = probdist()
+    n, npad = p.num_rows, 96
+    params = TsneParameters()
+    params.exaggeration_factor = default_exaggeration(n)
+    pvec = jnp.asarray(
+        [params.eta, params.momentum, params.final_momentum,
+         params.mom_switching_iter, params.exaggeration_factor,
+         params.remove_exaggeration_iter, params.exponential_decay_iter,
+         params.minimum_gain], jnp.float32)
+    y0 = random_disk_init(n, 0.1, 0)
+    pi = p.indices.astype(np.int32)
+    pv = (p.values / p.values.sum()).astype(np.float32)
+
+    # the gain updates bifurcate on f32 sign comparisons, so trajectories
+    # separate exponentially; 5 steps stays well inside the deterministic
+    # window (single-step agreement is ~5e-7)
+    iters = 5
+    y1, _, _, _ = tsne_iterations(
+        jnp.asarray(y0), jnp.zeros((npad, 2)), jnp.ones((npad, 2)),
+        jnp.int32(0), jnp.asarray(pi), jnp.asarray(pv), jnp.int32(n),
+        pvec, iters, 32)
+
+    mesh = make_mesh()
+    step = make_sharded_tsne_step(mesh)
+    y = shard_rows(mesh, jnp.asarray(y0))
+    vel = shard_rows(mesh, jnp.zeros((npad, 2), jnp.float32))
+    gain = shard_rows(mesh, jnp.ones((npad, 2), jnp.float32))
+    pis = shard_rows(mesh, jnp.asarray(pi))
+    pvs = shard_rows(mesh, jnp.asarray(pv))
+    for it in range(iters):
+        y, vel, gain = step(y, vel, gain, pis, pvs, jnp.int32(n), pvec,
+                            jnp.int32(it))
+    y2 = np.asarray(y)
+    scale = np.abs(np.asarray(y1)).max()
+    assert np.abs(np.asarray(y1) - y2).max() < 1e-3 * max(scale, 1.0)
+
+
+def test_sharded_tsne_finite():
+    p, labels = probdist()
+    mesh = make_mesh()
+    emb = sharded_tsne(p.indices, p.values, 100, mesh)
+    assert emb.shape == (96, 2)
+    assert np.all(np.isfinite(emb))
+
+
+def test_multi_scene_tsne():
+    p, labels = probdist()
+    s = 8
+    pi = np.stack([p.indices] * s)
+    pv = np.stack([p.values] * s)
+    mesh = make_mesh()
+    embs = multi_scene_tsne(pi, pv, 60, mesh)
+    assert embs.shape == (s, 96, 2)
+    assert np.all(np.isfinite(embs))
+    # different seeds per scene -> different layouts
+    assert not np.allclose(embs[0], embs[1])
