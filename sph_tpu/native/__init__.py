@@ -1,0 +1,121 @@
+"""Native runtime ops (C++ via ctypes).
+
+The irregular host-side restructurings the reference does in C++
+(GraphUtils/Boost CC, symmetrization, sparse merges) get a native fast path
+here; every entry point has a pure-numpy fallback so the package works
+without a toolchain.  The shared object is built on first use with g++ and
+cached next to the source.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+from ..utils.logging import Log
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "graphops.cpp")
+_SO = os.path.join(_DIR, "libgraphops.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        Log.info("native: build failed (%s); using numpy fallbacks", e)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("SPH_TPU_NO_NATIVE"):
+        return None
+    if not os.path.exists(_SO) or (os.path.getmtime(_SO)
+                                   < os.path.getmtime(_SRC)):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as e:
+        Log.info("native: load failed (%s); using numpy fallbacks", e)
+        return None
+
+    i64 = ctypes.c_int64
+    p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+    lib.weak_components.restype = i64
+    lib.weak_components.argtypes = [i64, i64, p_i32, p_i64]
+    lib.edge_list_components.restype = i64
+    lib.edge_list_components.argtypes = [i64, i64, p_i64, p_i64, p_i64]
+    lib.symmetrize_degrees.restype = i64
+    lib.symmetrize_degrees.argtypes = [i64, i64, p_i32, p_f32, p_i64]
+    lib.symmetrize_fill.restype = None
+    lib.symmetrize_fill.argtypes = [i64, i64, p_i32, p_f32, i64, p_i32,
+                                    p_f32, p_i32]
+    lib.pack_rows.restype = None
+    lib.pack_rows.argtypes = [i64, p_i64, p_i32, p_f32, i64, i64, p_i32,
+                              p_f32]
+    _lib = lib
+    Log.info("native: libgraphops loaded")
+    return _lib
+
+
+def weak_components(indices: np.ndarray) -> Optional[tuple]:
+    """Native weak CC over padded [n, k] adjacency; None -> use fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, k = indices.shape
+    idx = np.ascontiguousarray(indices, dtype=np.int32)
+    labels = np.empty(n, dtype=np.int64)
+    ncc = lib.weak_components(n, k, idx, labels)
+    return int(ncc), labels
+
+
+def edge_list_components(num_nodes: int, src: np.ndarray, dst: np.ndarray
+                         ) -> Optional[tuple]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    labels = np.empty(num_nodes, dtype=np.int64)
+    ncc = lib.edge_list_components(num_nodes, len(src), src, dst, labels)
+    return int(ncc), labels
+
+
+def symmetrize(indices: np.ndarray, distances: np.ndarray
+               ) -> Optional[tuple]:
+    """Native symmetrize; returns (out_idx, out_dist, counts) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, k = indices.shape
+    idx = np.ascontiguousarray(indices, dtype=np.int32)
+    dist = np.ascontiguousarray(distances, dtype=np.float32)
+    degrees = np.empty(n, dtype=np.int64)
+    max_deg = lib.symmetrize_degrees(n, k, idx, dist, degrees)
+    width = int(max_deg) + 1
+    out_idx = np.empty((n, width), dtype=np.int32)
+    out_dist = np.empty((n, width), dtype=np.float32)
+    counts = np.empty(n, dtype=np.int32)
+    lib.symmetrize_fill(n, k, idx, dist, width, out_idx, out_dist, counts)
+    return out_idx, out_dist, counts

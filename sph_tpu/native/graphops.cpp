@@ -1,0 +1,215 @@
+// Native host-side graph restructuring ops.
+//
+// The TPU compute path (kNN matmuls, walks, similarity products, gradient
+// descent) lives in XLA; what remains on the host is irregular
+// restructuring work — exactly the part the reference implements in C++
+// with Boost/OpenMP (GraphUtils.cpp symmetrizeGraph, connected-component
+// labeling, the sorted node merges of SparseMatrixAlgorithms.cpp).  These
+// C implementations replace the vectorized-numpy fallbacks for large N.
+//
+// C ABI for ctypes; build: see sph_tpu/native/__init__.py (g++ -O3 -shared).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <utility>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// Union-find with path halving + union by size.
+// Labels are normalized to first-occurrence order (matching
+// sph_tpu.ops.graph._normalize_labels).
+// ---------------------------------------------------------------------
+
+static int64_t uf_find(std::vector<int64_t>& parent, int64_t x) {
+    while (parent[x] != x) {
+        parent[x] = parent[parent[x]];  // path halving
+        x = parent[x];
+    }
+    return x;
+}
+
+// Weak connected components over a padded [n, k] adjacency (pad < 0).
+// Returns the number of components; writes labels[n].
+int64_t weak_components(int64_t n, int64_t k, const int32_t* indices,
+                        int64_t* labels) {
+    std::vector<int64_t> parent(n);
+    std::vector<int64_t> size(n, 1);
+    for (int64_t i = 0; i < n; ++i) parent[i] = i;
+
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t* row = indices + i * k;
+        for (int64_t j = 0; j < k; ++j) {
+            int32_t t = row[j];
+            if (t < 0 || t == i) continue;
+            int64_t ra = uf_find(parent, i);
+            int64_t rb = uf_find(parent, t);
+            if (ra == rb) continue;
+            if (size[ra] < size[rb]) std::swap(ra, rb);
+            parent[rb] = ra;
+            size[ra] += size[rb];
+        }
+    }
+
+    // first-occurrence normalization
+    std::vector<int64_t> remap(n, -1);
+    int64_t next = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t r = uf_find(parent, i);
+        if (remap[r] < 0) remap[r] = next++;
+        labels[i] = remap[r];
+    }
+    return next;
+}
+
+// Weak CC over an explicit edge list (the per-level merge graph,
+// reference: ImageHierarchy.cpp:468-471).
+int64_t edge_list_components(int64_t n, int64_t m, const int64_t* src,
+                             const int64_t* dst, int64_t* labels) {
+    std::vector<int64_t> parent(n);
+    std::vector<int64_t> size(n, 1);
+    for (int64_t i = 0; i < n; ++i) parent[i] = i;
+    for (int64_t e = 0; e < m; ++e) {
+        int64_t ra = uf_find(parent, src[e]);
+        int64_t rb = uf_find(parent, dst[e]);
+        if (ra == rb) continue;
+        if (size[ra] < size[rb]) std::swap(ra, rb);
+        parent[rb] = ra;
+        size[ra] += size[rb];
+    }
+    std::vector<int64_t> remap(n, -1);
+    int64_t next = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t r = uf_find(parent, i);
+        if (remap[r] < 0) remap[r] = next++;
+        labels[i] = remap[r];
+    }
+    return next;
+}
+
+// ---------------------------------------------------------------------
+// Graph symmetrization (undirected union, min-distance dedup).
+// Two-phase: phase 1 computes per-row output degrees (excluding the self
+// slot), phase 2 fills padded [n, max_deg + 1] outputs with the self edge
+// first and the rest sorted ascending by distance.
+// (Reference semantics: GraphUtils.cpp symmetrizeGraph.)
+// ---------------------------------------------------------------------
+
+struct Edge { int64_t a, b; float d; };
+
+static void collect_canonical_edges(int64_t n, int64_t k,
+                                    const int32_t* indices,
+                                    const float* distances,
+                                    std::vector<Edge>& out) {
+    out.clear();
+    out.reserve(static_cast<size_t>(n) * k);
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t* row = indices + i * k;
+        const float* drow = distances + i * k;
+        for (int64_t j = 0; j < k; ++j) {
+            int32_t t = row[j];
+            if (t < 0 || t == i) continue;
+            Edge e;
+            e.a = std::min<int64_t>(i, t);
+            e.b = std::max<int64_t>(i, t);
+            e.d = drow[j];
+            out.push_back(e);
+        }
+    }
+    std::sort(out.begin(), out.end(), [](const Edge& x, const Edge& y) {
+        if (x.a != y.a) return x.a < y.a;
+        if (x.b != y.b) return x.b < y.b;
+        return x.d < y.d;
+    });
+    // dedup keeping min distance (list sorted so first of each (a,b) wins)
+    size_t w = 0;
+    for (size_t r = 0; r < out.size(); ++r) {
+        if (w > 0 && out[w - 1].a == out[r].a && out[w - 1].b == out[r].b)
+            continue;
+        out[w++] = out[r];
+    }
+    out.resize(w);
+}
+
+// Phase 1: returns max degree; writes degrees[n] (neighbor counts
+// excluding self).
+int64_t symmetrize_degrees(int64_t n, int64_t k, const int32_t* indices,
+                           const float* distances, int64_t* degrees) {
+    std::vector<Edge> edges;
+    collect_canonical_edges(n, k, indices, distances, edges);
+    std::memset(degrees, 0, sizeof(int64_t) * n);
+    for (const Edge& e : edges) {
+        degrees[e.a]++;
+        degrees[e.b]++;
+    }
+    int64_t mx = 0;
+    for (int64_t i = 0; i < n; ++i) mx = std::max(mx, degrees[i]);
+    return mx;
+}
+
+// Phase 2: fills out_idx/out_dist of shape [n, width] (width >= max_deg+1)
+// with self first, neighbors ascending by distance, pads at -1/+inf.
+void symmetrize_fill(int64_t n, int64_t k, const int32_t* indices,
+                     const float* distances, int64_t width,
+                     int32_t* out_idx, float* out_dist,
+                     int32_t* out_counts) {
+    std::vector<Edge> edges;
+    collect_canonical_edges(n, k, indices, distances, edges);
+
+    const float inf = std::numeric_limits<float>::infinity();
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t* oi = out_idx + i * width;
+        float* od = out_dist + i * width;
+        for (int64_t j = 0; j < width; ++j) { oi[j] = -1; od[j] = inf; }
+        oi[0] = static_cast<int32_t>(i);
+        od[0] = 0.0f;
+        out_counts[i] = 1;
+    }
+    // bucket per row
+    std::vector<std::vector<std::pair<float, int64_t>>> rows(n);
+    for (const Edge& e : edges) {
+        rows[e.a].push_back({e.d, e.b});
+        rows[e.b].push_back({e.d, e.a});
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        auto& r = rows[i];
+        std::sort(r.begin(), r.end());
+        int64_t c = std::min<int64_t>(r.size(), width - 1);
+        int32_t* oi = out_idx + i * width;
+        float* od = out_dist + i * width;
+        for (int64_t j = 0; j < c; ++j) {
+            oi[1 + j] = static_cast<int32_t>(r[j].second);
+            od[1 + j] = r[j].first;
+        }
+        out_counts[i] = static_cast<int32_t>(1 + c);
+    }
+}
+
+// ---------------------------------------------------------------------
+// Ragged -> padded packing of grouped (row, col, value) triples that are
+// already sorted by row (the inner step of the sparse merges).
+// ---------------------------------------------------------------------
+
+void pack_rows(int64_t m, const int64_t* rows, const int32_t* cols,
+               const float* vals, int64_t n, int64_t width,
+               int32_t* out_idx, float* out_val) {
+    for (int64_t i = 0; i < n * width; ++i) { out_idx[i] = -1; }
+    std::memset(out_val, 0, sizeof(float) * n * width);
+    int64_t pos = 0;
+    for (int64_t r = 0; r < n && pos < m; ++r) {
+        int64_t slot = 0;
+        while (pos < m && rows[pos] == r) {
+            if (slot < width) {
+                out_idx[r * width + slot] = cols[pos];
+                out_val[r * width + slot] = vals[pos];
+                ++slot;
+            }
+            ++pos;
+        }
+    }
+}
+
+}  // extern "C"

@@ -174,13 +174,25 @@ def sort_rows(indices: np.ndarray, distances: np.ndarray,
     return indices, distances
 
 
-def symmetrize_graph(graph: KnnGraph | PaddedGraph) -> PaddedGraph:
+def symmetrize_graph(graph: KnnGraph | PaddedGraph,
+                     use_native: bool = True) -> PaddedGraph:
     """Undirected union of edges with min-distance dedup (reference:
     GraphUtils.cpp symmetrizeGraph — union of i->j and j->i, duplicate edges
     keep the smaller distance, rows sorted by distance, self first).
+
+    Uses the native C++ path (sph_tpu/native/graphops.cpp) when available;
+    the numpy implementation below is the reference fallback.
     """
     if isinstance(graph, KnnGraph):
         graph = graph.to_padded()
+    if use_native:
+        from .. import native
+        idx_in = np.where(graph.mask, graph.indices, -1).astype(np.int32)
+        out = native.symmetrize(idx_in, np.where(graph.mask,
+                                                 graph.distances, 0.0))
+        if out is not None:
+            oi, od, oc = out
+            return PaddedGraph(oi, od, oc)
     n, kmax = graph.indices.shape
     mask = graph.mask
     rows = np.broadcast_to(np.arange(n)[:, None], (n, kmax))[mask]
@@ -233,11 +245,13 @@ def symmetrize_graph(graph: KnnGraph | PaddedGraph) -> PaddedGraph:
     return PaddedGraph(indices, distances, counts)
 
 
-def weak_connected_components(graph: KnnGraph | PaddedGraph
+def weak_connected_components(graph: KnnGraph | PaddedGraph,
+                              use_native: bool = True
                               ) -> tuple[int, np.ndarray]:
     """Weak CC labels of the directed kNN graph (reference: GraphUtils
     labelGraphWeakComponents via Boost connected_components).  Labels are
-    normalized to first-occurrence order."""
+    normalized to first-occurrence order.  Native union-find fast path when
+    the C++ library is available."""
     import scipy.sparse as sp
     from scipy.sparse.csgraph import connected_components
 
@@ -245,6 +259,12 @@ def weak_connected_components(graph: KnnGraph | PaddedGraph
         g = graph.to_padded()
     else:
         g = graph
+    if use_native:
+        from .. import native
+        idx_in = np.where(g.mask, g.indices, -1).astype(np.int32)
+        out = native.weak_components(idx_in)
+        if out is not None:
+            return out
     n, kmax = g.indices.shape
     mask = g.mask
     rows = np.broadcast_to(np.arange(n)[:, None], (n, kmax))[mask]
@@ -285,12 +305,18 @@ def _normalize_labels(labels: np.ndarray) -> np.ndarray:
     return rank[inverse].astype(np.int64)
 
 
-def edge_list_components(num_nodes: int, src: np.ndarray, dst: np.ndarray
-                         ) -> tuple[int, np.ndarray]:
+def edge_list_components(num_nodes: int, src: np.ndarray, dst: np.ndarray,
+                         use_native: bool = True) -> tuple[int, np.ndarray]:
     """Weak CC of an explicit edge list (used for the per-level merge graph,
     reference: ImageHierarchy.cpp:468-471)."""
     import scipy.sparse as sp
     from scipy.sparse.csgraph import connected_components
+
+    if use_native:
+        from .. import native
+        out = native.edge_list_components(num_nodes, src, dst)
+        if out is not None:
+            return out
 
     m = sp.coo_matrix((np.ones(len(src), np.int8), (src, dst)),
                       shape=(num_nodes, num_nodes))

@@ -114,6 +114,50 @@ def sssp_fields(in_idx: np.ndarray, in_w: np.ndarray,
     return np.asarray(out)
 
 
+def compute_shortest_path(graph, start: int, end: int) -> float:
+    """Single point-pair geodesic (reference: computeShortestPath,
+    ShortestPath.cpp:100-166 — with the direct-neighbor early-out; the A* /
+    Dijkstra fallback chain becomes one converged Bellman-Ford field).
+
+    Returns -1.0 when end is unreachable (the reference's cross-component
+    sentinel)."""
+    from .graph import KnnGraph
+
+    if isinstance(graph, KnnGraph):
+        idx, dist = graph.indices, graph.distances
+        mask = np.ones_like(idx, dtype=bool)
+    else:
+        idx, dist, mask = graph.indices, graph.distances, graph.mask
+
+    if start == end:
+        return 0.0
+    # direct-neighbor early-out (reference: :127-134)
+    row = idx[start][mask[start]]
+    hit = np.nonzero(row == end)[0]
+    if hit.size:
+        return float(dist[start][mask[start]][hit[0]])
+
+    in_idx, in_w = build_reverse_adjacency(idx, dist, mask)
+    field = sssp_fields(in_idx, in_w,
+                        np.array([[start]], dtype=np.int64))[0]
+    d = float(field[end])
+    return d if np.isfinite(d) else -1.0
+
+
+def shortest_path_fields(graph, sources: np.ndarray) -> np.ndarray:
+    """Distance fields from single-node sources [S] -> [S, N] (the batched
+    public API; unreachable = +inf)."""
+    from .graph import KnnGraph
+    if isinstance(graph, KnnGraph):
+        idx, dist = graph.indices, graph.distances
+        mask = np.ones_like(idx, dtype=bool)
+    else:
+        idx, dist, mask = graph.indices, graph.distances, graph.mask
+    in_idx, in_w = build_reverse_adjacency(idx, dist, mask)
+    return sssp_fields(in_idx, in_w,
+                       np.asarray(sources, np.int64)[:, None])
+
+
 def geodesic_hausdorff_knn(graph, hierarchy, level: int, k: int,
                            num_samples: int = 0, seed: int = 1,
                            field_batch: int = 256):

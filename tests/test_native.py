@@ -1,0 +1,77 @@
+"""Native C++ graph ops vs numpy fallbacks (the native path mirrors the
+reference's C++ GraphUtils/Boost implementations)."""
+
+import numpy as np
+import pytest
+
+from sph_tpu import native
+from sph_tpu.ops.graph import (KnnGraph, edge_list_components,
+                               symmetrize_graph, weak_connected_components)
+
+
+needs_native = pytest.mark.skipif(native.get_lib() is None,
+                                  reason="native lib unavailable")
+
+
+def random_graph(n=300, k=6, seed=0):
+    rng = np.random.default_rng(seed)
+    idx = np.empty((n, k), dtype=np.int32)
+    idx[:, 0] = np.arange(n)
+    for i in range(n):
+        idx[i, 1:] = rng.choice(n, k - 1, replace=False)
+    dist = np.sort(rng.random((n, k)).astype(np.float32), axis=1)
+    dist[:, 0] = 0
+    return KnnGraph(idx, dist)
+
+
+@needs_native
+def test_native_builds():
+    assert native.get_lib() is not None
+
+
+@needs_native
+def test_weak_components_native_matches_scipy():
+    g = random_graph(500, 4, seed=3)
+    ncc_n, lab_n = weak_connected_components(g, use_native=True)
+    ncc_s, lab_s = weak_connected_components(g, use_native=False)
+    assert ncc_n == ncc_s
+    assert np.array_equal(lab_n, lab_s)
+
+
+@needs_native
+def test_edge_list_components_native_matches():
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 100, 80)
+    dst = rng.integers(0, 100, 80)
+    ncc_n, lab_n = edge_list_components(100, src, dst, use_native=True)
+    ncc_s, lab_s = edge_list_components(100, src, dst, use_native=False)
+    assert ncc_n == ncc_s
+    assert np.array_equal(lab_n, lab_s)
+
+
+@needs_native
+def test_symmetrize_native_matches_numpy():
+    g = random_graph(200, 5, seed=7)
+    a = symmetrize_graph(g, use_native=True)
+    b = symmetrize_graph(g, use_native=False)
+    assert a.num_points == b.num_points
+    assert np.array_equal(a.counts, b.counts)
+    for i in range(200):
+        ia, da = a.row(i)
+        ib, db = b.row(i)
+        # same neighbor sets and distances (order may differ on exact ties)
+        assert sorted(ia.tolist()) == sorted(ib.tolist())
+        assert np.allclose(np.sort(da), np.sort(db))
+        assert ia[0] == i and da[0] == 0
+        assert np.all(np.diff(da) >= 0)
+
+
+@needs_native
+def test_symmetrize_min_dedup_native():
+    # 0->1 d=1 and 1->0 d=3: sym keeps 1
+    idx = np.array([[0, 1], [1, 0], [2, 0]], dtype=np.int32)
+    dist = np.array([[0, 1], [0, 3], [0, 5]], dtype=np.float32)
+    g = symmetrize_graph(KnnGraph(idx, dist), use_native=True)
+    i0, d0 = g.row(0)
+    assert i0.tolist() == [0, 1, 2]
+    assert np.allclose(d0, [0, 1, 5])
