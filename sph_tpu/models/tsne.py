@@ -115,13 +115,17 @@ def _attractive_forces(y: jax.Array, p_idx: jax.Array, p_val: jax.Array):
     return jnp.sum(coef[:, :, None] * diff, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "iters"))
+@functools.partial(jax.jit, static_argnames=("block", "iters",
+                                             "use_pallas"))
 def tsne_iterations(y, vel, gain, it0, p_idx, p_val, n_valid,
-                    params_vec, iters: int, block: int):
+                    params_vec, iters: int, block: int,
+                    use_pallas: bool = False):
     """Run `iters` gradient-descent steps (jitted inner loop).
 
     params_vec: [eta, momentum, final_momentum, mom_switch, exag_factor,
                  remove_exag, decay_iter, min_gain] as f32.
+    use_pallas: fused VMEM repulsion kernel (TPU); the XLA tiled path
+    otherwise.
     """
     (eta, mom0, mom1, mom_switch, exag_f, remove_exag, decay_iter,
      min_gain) = [params_vec[i] for i in range(8)]
@@ -137,7 +141,12 @@ def tsne_iterations(y, vel, gain, it0, p_idx, p_val, n_valid,
         momentum = jnp.where(itf < mom_switch, mom0, mom1)
 
         attr = _attractive_forces(y, p_idx, p_val)
-        rep, z = _repulsive_forces(y, n_valid, block)
+        if use_pallas:
+            from ..ops.pallas.tsne_kernels import tsne_repulsion
+            rep, z = tsne_repulsion(y, n_valid, row_block=block,
+                                    col_block=block)
+        else:
+            rep, z = _repulsive_forces(y, n_valid, block)
         grad = 4.0 * (exag * attr - rep / jnp.maximum(z, 1e-12))
 
         same_sign = jnp.sign(grad) == jnp.sign(vel)
@@ -182,9 +191,12 @@ class TsneComputation:
     graph as input."""
 
     def __init__(self, params: Optional[TsneParameters] = None,
-                 block: int = 512):
+                 block: int = 512, use_pallas: Optional[bool] = None):
         self.params = params or TsneParameters()
         self._block = block
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self._use_pallas = use_pallas
         self._p: Optional[SparseRows] = None
         self._knn = None
         self._state: Optional[TsneState] = None
@@ -309,7 +321,8 @@ class TsneComputation:
         y, vel, gain, it = tsne_iterations(
             s.embedding, s.velocity, s.gain, jnp.int32(s.iteration),
             self._p_idx, self._p_val, jnp.int32(self._n),
-            self._params_vec(), iterations, self._block_eff)
+            self._params_vec(), iterations, self._block_eff,
+            self._use_pallas)
         self._state = TsneState(y, vel, gain, int(s.iteration) + iterations)
 
     def _single_point(self):

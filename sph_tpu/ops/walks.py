@@ -187,12 +187,43 @@ def _accumulate(visited: jax.Array, num_walks: int, walk_length: int,
     return run_ids, val
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "do_remove_diagonal", "do_normalize"))
+def _postprocess(idx: jax.Array, val: jax.Array, prune_value: jax.Array,
+                 do_remove_diagonal: bool, do_normalize: bool):
+    """Fused on-device post-processing: prune <= prune_value, remove the
+    diagonal (keeping single-entry rows), sort by column id with pads last,
+    row-normalize — one argsort instead of three host passes."""
+    c, r = idx.shape
+    valid = (idx >= 0) & (val > 0)
+    valid = valid & (val > prune_value)
+
+    if do_remove_diagonal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (c, r), 0)
+        diag = valid & (idx == rows)
+        nnz = jnp.sum(valid, axis=1, keepdims=True)
+        valid = valid & (~diag | (nnz <= 1))
+
+    big = jnp.int32(2**31 - 1)
+    key = jnp.where(valid, idx, big)
+    order = jnp.argsort(key, axis=1)
+    rr = jnp.arange(c)[:, None]
+    idx_s = jnp.where(valid, idx, -1)[rr, order]
+    val_s = jnp.where(valid, val, 0.0)[rr, order]
+
+    if do_normalize:
+        s = jnp.sum(val_s, axis=1, keepdims=True)
+        val_s = jnp.where(s > 0, val_s / jnp.maximum(s, 1e-38), 0.0)
+    return idx_s, val_s
+
+
 def do_random_walks(similarities: SparseRows,
                     settings: RandomWalkSettings,
                     verbose: bool = False) -> SparseRows:
     """Full doRandomWalks semantics (reference:
     SparseMatrixAlgorithms.cpp:34-290): simulate, weight, prune, remove
-    diagonal (keeping single-entry rows), row-normalize."""
+    diagonal (keeping single-entry rows), row-normalize — all on device;
+    only the final fixed-width rows cross back to the host."""
     c = similarities.num_rows
     w = int(settings.num_random_walks)
     l = int(settings.single_walk_length)
@@ -211,16 +242,10 @@ def do_random_walks(similarities: SparseRows,
                         jnp.uint32(settings.random_seed), w, l)
     idx, val = _accumulate(visited, w, l,
                            settings.importance_weighting.value, out_width)
+    idx, val = _postprocess(idx, val, jnp.float32(prune_value),
+                            settings.remove_diagonal, settings.normalize)
 
-    rows = _compact(np.asarray(idx), np.asarray(val), c)
-
-    if prune_value > 0:
-        rows = prune_values(rows, prune_value)
-    if settings.remove_diagonal:
-        rows = remove_diagonal(rows, keep_single_entry=True)
-    if settings.normalize:
-        rows = normalize_rows(rows)
-
+    rows = SparseRows(np.asarray(idx), np.asarray(val), c)
     empty = int((rows.row_nnz() == 0).sum())
     if empty:
         Log.warn("doRandomWalks: %d rows have no effective entries", empty)
