@@ -43,7 +43,11 @@ def main():
 
     set_level("WARNING")
 
-    rows, cols, channels = 145, 145, 200
+    # env overrides for debugging off-TPU; the driver runs the defaults
+    rows = int(os.environ.get("BENCH_ROWS", 145))
+    cols = int(os.environ.get("BENCH_COLS", 145))
+    channels = int(os.environ.get("BENCH_CHANNELS", 200))
+    tsne_iters = int(os.environ.get("BENCH_TSNE_ITERS", 2000))
     img = create_hyperspectral_scene(rows, cols, channels, seed=7)
     stack = ImageStack.from_array(img, name="pines_synth")
     data = scale(stack.data, Scaler.NONE)
@@ -88,7 +92,7 @@ def main():
     pd = ch.level_similarities.get_prob_dist(level)
 
     emb_settings = ComputeEmbeddingSettings()
-    emb_settings.tsne.num_iterations = 2000
+    emb_settings.tsne.num_iterations = tsne_iters
     ce = ComputeEmbedding(emb_settings)
     t1 = time.perf_counter()
     emb = ce.compute_tsne(pd, track_kl=True)
@@ -105,7 +109,7 @@ def main():
     tsne_s = time.perf_counter() - t3
     total_s = hierarchy_s + tsne_s
 
-    iters_per_s = 2000.0 / tsne_s
+    iters_per_s = tsne_iters / tsne_s
     result = {
         "metric": "pines_e2e_hierarchy_plus_level1_tsne2000",
         "value": round(total_s, 3),
