@@ -223,7 +223,9 @@ def multi_scene_tsne(p_indices: np.ndarray, p_values: np.ndarray,
                         params.exponential_decay_iter,
                         params.minimum_gain], jnp.float32)
 
-    npad = ((n + 7) // 8) * 8
+    # block must divide npad (the tiled repulsion asserts it)
+    block = 512 if n > 512 else ((n + 7) // 8) * 8
+    npad = ((n + block - 1) // block) * block
     y0 = np.zeros((s, npad, 2), np.float32)
     for i in range(s):
         y0[i, :n] = random_disk_init(n, 0.1, seed + i)
@@ -232,8 +234,6 @@ def multi_scene_tsne(p_indices: np.ndarray, p_values: np.ndarray,
     pi[:, :n] = p_indices
     pv[:, :n] = p_values / np.maximum(
         p_values.sum(axis=(1, 2), keepdims=True), 1e-12)
-
-    block = min(512, npad)
 
     def one_scene(y, vel, gain, p_i, p_v):
         y, vel, gain, _ = tsne_iterations(
