@@ -67,16 +67,21 @@ def _topk_from_dist_blocks(dist_fn, c: int, k: int, block: int
 @functools.partial(jax.jit, static_argnames=("k", "block"))
 def _overlap_knn(members: jax.Array, counts: jax.Array, n_valid, k: int,
                  block: int):
-    """members: [Cpad, N] 0/1 membership; sim = |A^B| / min(|A|,|B|);
-    dist = 1 - sim (reference: NeighborOverlapSpace.hpp:31-42)."""
+    """members: [Cpad, N] int8 0/1 membership; sim = |A^B| / min(|A|,|B|);
+    dist = 1 - sim (reference: NeighborOverlapSpace.hpp:31-42).
+
+    int8 storage keeps Salinas-scale membership (50k comps x 111k pixels)
+    under HBM budget; the intersection counts come out exact through the
+    int8 x int8 -> f32 MXU product (counts << 2^24)."""
     cpad, n = members.shape
     num_blocks = cpad // block
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cpad), 1)
 
     def row_block(rb):
         rows = jax.lax.dynamic_slice_in_dim(members, rb * block, block)
-        inter = jnp.dot(rows, members.T, preferred_element_type=jnp.float32,
-                        precision=_HP)                       # [block, Cpad]
+        inter = jnp.dot(rows.astype(jnp.bfloat16),
+                        members.T.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)  # [block, Cpad]
         rc = jax.lax.dynamic_slice_in_dim(counts, rb * block, block)
         m = jnp.minimum(rc[:, None], counts[None, :])
         sim = jnp.where(m > 0, inter / jnp.maximum(m, 1.0), 0.0)
@@ -98,10 +103,10 @@ def knn_neighbor_overlap(unions: SparseRows, k: int, block: int = 256
     n = unions.num_cols
     block = min(block, _ceil_to(c, 8))
     cpad = _ceil_to(c, block)
-    members = np.zeros((cpad, n), dtype=np.float32)
+    members = np.zeros((cpad, n), dtype=np.int8)
     mask = unions.mask
     rows = np.broadcast_to(np.arange(c)[:, None], unions.indices.shape)[mask]
-    members[rows, unions.indices[mask]] = 1.0
+    members[rows, unions.indices[mask]] = 1
     counts = np.zeros(cpad, dtype=np.float32)
     counts[:c] = unions.row_nnz()
     ids, dists = _overlap_knn(jnp.asarray(members), jnp.asarray(counts),
@@ -118,52 +123,82 @@ def _walks_knn(indices: jax.Array, values: jax.Array, n_valid, k: int,
                block: int, single: bool):
     cpad, r = indices.shape
     num_blocks = cpad // block
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cpad), 1)
 
     def densify(b, sqrt_vals):
         idx = jax.lax.dynamic_slice_in_dim(indices, b * block, block)
         val = jax.lax.dynamic_slice_in_dim(values, b * block, block)
-        v = jnp.sqrt(jnp.maximum(val, 0.0)) if sqrt_vals else val
+        v = jnp.where(idx < 0, 0.0, val)
+        if sqrt_vals:
+            v = jnp.sqrt(jnp.maximum(v, 0.0))
         dense = jnp.zeros((block, cpad), jnp.float32)
-        rr = jax.lax.broadcasted_iota(jnp.int32, (block, r), 0)
+        rr2 = jax.lax.broadcasted_iota(jnp.int32, (block, r), 0)
         safe = jnp.where(idx < 0, 0, idx)
-        v = jnp.where(idx < 0, 0.0, v)
-        return dense.at[rr, safe].add(v)
+        return dense.at[rr2, safe].add(v)
 
     if single:
-        # sim = max(w[a, b], w[b, a]); need the full dense W columns too —
-        # densify all rows once (C is small at the levels where this runs)
-        full = jnp.zeros((cpad, cpad), jnp.float32)
-        rr = jax.lax.broadcasted_iota(jnp.int32, indices.shape, 0)
-        safe = jnp.where(indices < 0, 0, indices)
-        v = jnp.where(indices < 0, 0.0, values)
-        full = full.at[rr, safe].add(v)
-        sim = jnp.maximum(full, full.T)
-        dist = 1.0 - sim
-        diag = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 0) == (
-            jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1))
-        dist = jnp.where(diag, 0.0, dist)
-        dist = jnp.where(col_ids >= n_valid, jnp.inf, dist)
-        neg, sel = jax.lax.top_k(-dist, k)
-        return sel, -neg
+        # sim = max(w[a, b], w[b, a]): per row block, densify the block's
+        # rows and gather the transposed entries via sparse lookups
+        big = jnp.int32(2**31 - 1)
+        idx_sorted = jnp.where(indices < 0, big, indices)
 
-    sqrt_all = jnp.zeros((cpad, cpad), jnp.float32)
-    rr = jax.lax.broadcasted_iota(jnp.int32, indices.shape, 0)
-    safe = jnp.where(indices < 0, 0, indices)
-    v = jnp.sqrt(jnp.maximum(jnp.where(indices < 0, 0.0, values), 0.0))
-    sqrt_all = sqrt_all.at[rr, safe].add(v)
+        def row_block(rb):
+            rows_dense = densify(rb, False)        # w[a, :] for the block
+            row_ids = (jax.lax.broadcasted_iota(jnp.int32,
+                                                (block, cpad), 0)
+                       + rb * block)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (block, cpad), 1)
 
+            # w[b, a] for every (a in block, b in all): lookup column a in
+            # row b of the sparse structure
+            def lookup_col(b_row_idx, b_row_val, a_ids):
+                pos = jnp.clip(jnp.searchsorted(b_row_idx, a_ids), 0,
+                               r - 1)
+                return jnp.where(b_row_idx[pos] == a_ids,
+                                 b_row_val[pos], 0.0)
+
+            wba = jax.vmap(lookup_col, in_axes=(0, 0, None))(
+                idx_sorted, jnp.where(indices < 0, 0.0, values),
+                jnp.arange(block, dtype=jnp.int32) + rb * block)  # [C, B]
+            sim = jnp.maximum(rows_dense, wba.T)
+            dist = 1.0 - sim
+            dist = jnp.where(cols == row_ids, 0.0, dist)
+            dist = jnp.where(cols >= n_valid, jnp.inf, dist)
+            neg, sel = jax.lax.top_k(-dist, k)
+            return -neg, sel
+
+        dists, ids = jax.lax.map(row_block, jnp.arange(num_blocks))
+        return ids.reshape(cpad, k), dists.reshape(cpad, k)
+
+    # Bhattacharyya: blocked sqrt-row products; no full [C, C] densify
     def row_block(rb):
-        rows = jax.lax.dynamic_slice_in_dim(sqrt_all, rb * block, block)
-        bc = jnp.dot(rows, sqrt_all.T, preferred_element_type=jnp.float32,
-                     precision=_HP)
-        dist = 1.0 - jnp.minimum(bc, 1.0)
-        row_ids = (jax.lax.broadcasted_iota(jnp.int32, dist.shape, 0)
+        rows_dense = densify(rb, True)
+        row_ids = (jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
                    + rb * block)
-        dist = jnp.where(col_ids == row_ids, 0.0, dist)
-        dist = jnp.where(col_ids >= n_valid, jnp.inf, dist)
-        neg, sel = jax.lax.top_k(-dist, k)
-        return -neg, sel
+
+        def col_step(carry, cb):
+            top_d, top_i = carry
+            cols_dense = densify(cb, True)
+            bc = jnp.dot(rows_dense[:, :], cols_dense.T,
+                         preferred_element_type=jnp.float32,
+                         precision=_HP)
+            # inner product runs over the full column space; restrict to
+            # the cb block's columns for ids
+            ids = (jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1)
+                   + cb * block)
+            dist = 1.0 - jnp.minimum(bc, 1.0)
+            dist = jnp.where(ids == row_ids, 0.0, dist)
+            dist = jnp.where(ids >= n_valid, jnp.inf, dist)
+            merged_d = jnp.concatenate([top_d, dist], axis=1)
+            merged_i = jnp.concatenate([top_i, ids], axis=1)
+            neg, sel = jax.lax.top_k(-merged_d, k)
+            rr3 = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
+            return (-neg, merged_i[rr3, sel]), None
+
+        init = (jnp.full((block, k), jnp.inf, jnp.float32),
+                jnp.full((block, k), -1, jnp.int32))
+        (top_d, top_i), _ = jax.lax.scan(col_step, init,
+                                         jnp.arange(num_blocks))
+        return top_d, top_i
 
     dists, ids = jax.lax.map(row_block, jnp.arange(num_blocks))
     return ids.reshape(cpad, k), dists.reshape(cpad, k)
