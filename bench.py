@@ -43,6 +43,20 @@ def main():
 
     set_level("WARNING")
 
+    # Device numerics guard: a wedged TPU tunnel has been observed to
+    # produce silently wrong results; verify a known matmul before
+    # trusting any measurement.
+    import jax.numpy as jnp
+    a = np.arange(64, dtype=np.float32).reshape(8, 8)
+    got = np.asarray(jnp.dot(jnp.asarray(a), jnp.asarray(a),
+                             precision=jax.lax.Precision.HIGHEST))
+    want = a @ a
+    if not np.allclose(got, want, rtol=1e-5):
+        print(json.dumps({"metric": "pines_e2e", "value": -1,
+                          "unit": "seconds", "vs_baseline": 0,
+                          "error": "device numerics check failed"}))
+        return
+
     # env overrides for debugging off-TPU; the driver runs the defaults
     rows = int(os.environ.get("BENCH_ROWS", 145))
     cols = int(os.environ.get("BENCH_COLS", 145))
