@@ -199,45 +199,62 @@ class UmapComputation:
         noise = rng.standard_normal(emb.shape).astype(np.float32) * 1e-4
         self._embedding = emb + noise
 
-    def compute(self):
-        """Reference: UmapComputation::compute (:289-300)."""
-        if self._n == 1:
-            self._embedding = np.zeros((1, 2), np.float32)
-            return
-        self._should_stop = False
+    def init_optimization(self):
+        """Prepare memberships, layout init and the edge schedule
+        (reference: initProbabilityDistribution, :52-231)."""
         m = self._memberships()
         self._init_embedding(m)
 
-        a, b = find_ab(self.params.spread, self.params.min_dist)
-        n_epochs = choose_num_epochs(self.params.num_epochs, self._n)
-        Log.info("UMAP: a=%.4f b=%.4f epochs=%d", a, b, n_epochs)
+        self._a, self._b = find_ab(self.params.spread, self.params.min_dist)
+        self._n_epochs = choose_num_epochs(self.params.num_epochs, self._n)
+        Log.info("UMAP: a=%.4f b=%.4f epochs=%d", self._a, self._b,
+                 self._n_epochs)
 
         mask = m.mask & (m.values > 0)
         src = np.broadcast_to(np.arange(self._n)[:, None],
                               m.indices.shape)[mask].astype(np.int32)
         dst = m.indices[mask].astype(np.int32)
         w = m.values[mask]
-        eps = make_epochs_per_sample(w, n_epochs).astype(np.float32)
+        eps = make_epochs_per_sample(w, self._n_epochs).astype(np.float32)
 
-        y = jnp.asarray(self._embedding)
-        src_j = jnp.asarray(src)
-        dst_j = jnp.asarray(dst)
-        eps_j = jnp.asarray(eps)
-        next_sample = jnp.asarray(eps.copy())
-        key = jax.random.PRNGKey(self.params.seed)
+        self._y = jnp.asarray(self._embedding)
+        self._src = jnp.asarray(src)
+        self._dst = jnp.asarray(dst)
+        self._eps = jnp.asarray(eps)
+        self._next_sample = jnp.asarray(eps.copy())
+        self._key = jax.random.PRNGKey(self.params.seed)
+        self.current_epoch = 0
+        self._initialized = True
 
-        for epoch in range(n_epochs):
+    def run_for_epochs(self, epochs: int):
+        """Incremental optimization (reference:
+        runGradientDescentForEpochs, :271-287)."""
+        if not getattr(self, "_initialized", False):
+            self.init_optimization()
+        end = min(self.current_epoch + epochs, self._n_epochs)
+        while self.current_epoch < end:
             if self._should_stop:
                 break
-            alpha = self.params.initial_alpha * (1.0 - epoch / n_epochs)
-            y, next_sample = _epoch_update(
-                y, src_j, dst_j, eps_j, next_sample, jnp.float32(epoch),
-                jnp.float32(alpha), jnp.float32(a), jnp.float32(b),
-                jax.random.fold_in(key, epoch), jnp.int32(self._n),
+            epoch = self.current_epoch
+            alpha = self.params.initial_alpha * (1.0 - epoch / self._n_epochs)
+            self._y, self._next_sample = _epoch_update(
+                self._y, self._src, self._dst, self._eps,
+                self._next_sample, jnp.float32(epoch), jnp.float32(alpha),
+                jnp.float32(self._a), jnp.float32(self._b),
+                jax.random.fold_in(self._key, epoch), jnp.int32(self._n),
                 self.params.negative_sample_rate)
             self.current_epoch = epoch + 1
+        self._embedding = np.asarray(self._y)
 
-        self._embedding = np.asarray(y)
+    def compute(self):
+        """Reference: UmapComputation::compute (:289-300)."""
+        if self._n == 1:
+            self._embedding = np.zeros((1, 2), np.float32)
+            return
+        self._should_stop = False
+        self._initialized = False
+        self.init_optimization()
+        self.run_for_epochs(self._n_epochs)
 
     # ------------------------------------------------------------------
 
