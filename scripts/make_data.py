@@ -31,7 +31,7 @@ def write_stack(path: str, img: np.ndarray):
 def write_rgb(path: str, rows: int, cols: int, seed: int):
     img = create_hyperspectral_scene(rows, cols, 3, num_classes=12,
                                      seed=seed, noise=0.05)
-    img = (255 * (img - img.min()) / (img.ptp() + 1e-9)).astype(np.uint8)
+    img = (255 * (img - img.min()) / (np.ptp(img) + 1e-9)).astype(np.uint8)
     Image.fromarray(img).save(path, quality=92)
     print(f"wrote {path}  {img.shape}")
 

@@ -218,11 +218,8 @@ class ComputeHierarchy:
             return False
         ih = self.image_hierarchy
         from ..ops.sparse import SparseRows
-        h = ih.hierarchy
-        from .hierarchy import HierarchySettings
-        ih.compute.__func__  # no-op; settings applied below
+        from .hierarchy import Hierarchy, HierarchySettings
         ih.set_settings(self._ihs, self._rws)
-        from .hierarchy import Hierarchy
         num_levels = int(payload["num_levels"][0])
         hier = Hierarchy(HierarchySettings(
             num_rows=self._rows, num_cols=self._cols,
@@ -235,6 +232,11 @@ class ComputeHierarchy:
         hier.parents = [payload[f"par_{i}"] for i in range(num_levels - 1)]
         hier.spatial_neighbors = [payload[f"spn_{i}"]
                                   for i in range(num_levels - 1)]
+        # not_merged is derivable: parents with a single child
+        for lvl in range(1, num_levels):
+            counts = np.bincount(hier.parents[lvl - 1],
+                                 minlength=hier.num_components[lvl])
+            hier.not_merged.append(np.nonzero(counts == 1)[0])
         nw = int(payload["num_walks"][0])
         for i in range(nw):
             hier.random_walks.append(SparseRows(

@@ -245,8 +245,11 @@ class TsneComputation:
         from ..ops.distributions import gaussian_row_distributions
         idx, dist = self._knn
         mask = idx >= 0
+        # the reference feeds the graph's distances to the beta search as-is
+        # (EmbedTsne.cpp:117 passes getKnnDistances() — already sqrt'd
+        # euclidean unless L2squared was requested)
         p = gaussian_row_distributions(
-            jnp.asarray(np.where(mask, dist, 0.0) ** 2), jnp.asarray(mask),
+            jnp.asarray(np.where(mask, dist, 0.0)), jnp.asarray(mask),
             jnp.float32(self.params.perplexity), ignore_first=True)
         p_rows = SparseRows(np.where(mask, idx, -1).astype(np.int32),
                             np.asarray(p), self._n)

@@ -124,18 +124,22 @@ def _accumulate(visited: jax.Array, num_walks: int, walk_length: int,
         step_w = steps + 1.0
 
     if weighting == "first_visit":
-        # first visit within each walk: node differs from all previous visits
-        # of the same walk and from the start node
+        # first visit within each walk: the step is the walk's earliest
+        # occurrence of that node, and the node differs from the start.
+        # Sort (node, step) along the step axis per walk and mark run
+        # starts — O(L log L) instead of an O(L^2) unrolled trace (the
+        # eval grid uses walk lengths up to 400).
         start = jnp.repeat(jnp.arange(c, dtype=jnp.int32), w)  # [C*W]
-        vis_t = visited  # [L, CW]
-        prev_same = jnp.zeros((l, cw), dtype=bool)
-        # O(L^2) pairwise comparisons; L is small (<= ~50)
-        for t in range(l):
-            seen = vis_t[t] == start
-            for t2 in range(t):
-                seen = seen | (vis_t[t] == vis_t[t2])
-            prev_same = prev_same.at[t].set(seen)
-        first_mask = ~prev_same                      # [L, CW]
+        order = jnp.argsort(visited, axis=0, stable=True)      # [L, CW]
+        # stable: equal nodes keep step order, so run starts are earliest
+        cols = jax.lax.broadcasted_iota(jnp.int32, (l, cw), 1)
+        sorted_v = jnp.take_along_axis(visited, order, axis=0)
+        new_run = jnp.concatenate(
+            [jnp.ones((1, cw), bool), sorted_v[1:] != sorted_v[:-1]],
+            axis=0)
+        first_sorted = new_run & (sorted_v != start[None, :])
+        first_mask = jnp.zeros((l, cw), bool).at[order, cols].set(
+            first_sorted)
         weights = jnp.where(first_mask, step_w[:, None], 0.0)
         counts = first_mask.astype(jnp.float32)
     else:
