@@ -28,7 +28,6 @@ from ..ops.sparse import (SparseRows, merge_rows_by_parents,
                           merge_rows_min_by_parents, normalize_matrix,
                           normalize_rows, remove_diagonal)
 from ..ops.walks import do_random_walks
-from ..ops.distributions import normalize_knn_distances
 
 # pixel-grid offsets (reference: sph/utils/ImageHelper.hpp:11-52)
 _OFFSETS_FOUR = np.array([(-1, 0), (0, 1), (1, 0), (0, -1)], dtype=np.int64)

@@ -31,7 +31,6 @@ from ..ops.graph import KnnGraph, PaddedGraph, edge_list_components
 from ..ops.math import compute_quantile
 from ..ops.sparse import SparseRows
 from ..ops.walks import do_random_walks
-from ..ops.distributions import normalize_knn_distances
 from .hierarchy import Hierarchy, HierarchySettings
 
 _FLOAT_MAX = np.float32(np.finfo(np.float32).max)

@@ -24,13 +24,12 @@ faster than an index could be built.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.logging import Log
 from .graph import ensure_self_first
 from .sparse import SparseRows
 

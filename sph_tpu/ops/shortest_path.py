@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.logging import Log
 
 _FLOAT_MAX = np.float32(np.finfo(np.float32).max)
 

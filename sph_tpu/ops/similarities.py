@@ -17,14 +17,11 @@ cache, ComputeHierarchy.cpp:187).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.logging import Log
-from .math import invlin
 from .sparse import PAD, SparseRows
 
 _BIG_I32 = np.int32(2**31 - 1)

@@ -19,7 +19,7 @@ parity is statistical (see tests), matching SURVEY.md hard-part #2.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,8 +27,7 @@ import numpy as np
 
 from ..settings import ImportanceWeighting, RandomWalkSettings
 from ..utils.logging import Log
-from .sparse import (PAD, SparseRows, _compact, normalize_rows,
-                     prune_values, remove_diagonal)
+from .sparse import PAD, SparseRows
 
 
 def step_linear(step, walk_length):
