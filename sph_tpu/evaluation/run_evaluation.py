@@ -156,6 +156,15 @@ def run_evaluation(settings: EvalSettings,
 
         cache = CacheSettings(path=out_dir, file_name="sph",
                               cache_active=False)
+        # shared kNN cache across grid runs, keyed by the knn-relevant axes
+        # (reference: cc_suffix_knn, RunEvaluation.cpp:278-295)
+        knn_suffix = (f"{k}_{run['knn_metric'].value}_"
+                      f"{run['data_input_norm'].value}_"
+                      f"{int(run['neighbor_symmetric'])}_"
+                      f"{int(run['neighbor_connect_components'])}")
+        knn_cache = CacheSettings(
+            path=os.path.join(base, "knn", knn_suffix),
+            file_name=os.path.splitext(img_name)[0], cache_active=True)
 
         setting_hashes.append((shash, sstr))
         evalio.save_setting_hashes(
@@ -163,7 +172,8 @@ def run_evaluation(settings: EvalSettings,
 
         # compute hierarchy
         ch = ComputeHierarchy().init(data, stack.rows, stack.cols,
-                                     ihs, lss, rws, nns)
+                                     ihs, lss, rws, nns,
+                                     knn_cache=knn_cache)
         ch.skip_level_similarities = settings.skip_level_similarities
         ch.compute()
 
@@ -185,6 +195,11 @@ def run_evaluation(settings: EvalSettings,
             os.path.join(out_dir, "MapFromLevelToBottom.bin"),
             [np.concatenate([r for r in h.represented_points(lev)])
              for lev in range(h.num_levels)])
+        # pixel -> component id per level (reference: mapFromPixelToLevel,
+        # RunEvaluation.cpp:381)
+        evalio.write_vec_of_vec(
+            os.path.join(out_dir, "MapFromBottomToLevel.bin"),
+            [h.pixel_components[lev] for lev in range(h.num_levels)])
 
         # embeddings per level (reference: :404-533)
         if not settings.skip_level_similarities:

@@ -34,6 +34,7 @@ class ComputeHierarchy:
         self._lss = LevelSimilaritiesSettings()
         self._rws = RandomWalkSettings()
         self._cache: Optional[StageCache] = None
+        self._knn_cache: Optional[StageCache] = None
         self.knn_stage: Optional[NearestNeighbors] = None
         self.image_hierarchy: Optional[ImageHierarchy] = None
         self.level_similarities: Optional[LevelSimilarities] = None
@@ -49,11 +50,19 @@ class ComputeHierarchy:
              lss: Optional[LevelSimilaritiesSettings] = None,
              rws: Optional[RandomWalkSettings] = None,
              nns: Optional[NearestNeighborsSettings] = None,
-             cache: Optional[CacheSettings] = None):
+             cache: Optional[CacheSettings] = None,
+             knn_cache: Optional[CacheSettings] = None):
+        """knn_cache: separate cache location for the kNN stage so it can be
+        shared across runs that differ only in hierarchy/level settings
+        (reference: the cs_knn cache, ComputeHierarchy.hpp:100-103,
+        RunEvaluation.cpp:283-295)."""
         self.set_data(data, rows, cols)
         self.set_settings(ihs, lss, rws, nns)
         if cache is not None and cache.cache_active:
             self._cache = StageCache(cache.path, cache.file_name)
+        if knn_cache is not None and knn_cache.cache_active:
+            self._knn_cache = StageCache(knn_cache.path,
+                                         knn_cache.file_name)
         return self
 
     def set_data(self, data: np.ndarray, rows: int, cols: int):
@@ -82,13 +91,18 @@ class ComputeHierarchy:
         Log.info("ComputeHierarchy:: Nearest Neighbors on data level")
         self.knn_stage = NearestNeighbors(self._data, self._nns)
 
+        kc = self._knn_cache or self._cache
         loaded = False
-        if self._cache is not None:
-            loaded = self._load_knn_cache()
+        if kc is not None:
+            loaded = self._load_knn_cache(kc)
         if not loaded:
             self.knn_stage.compute()
-            if self._cache is not None:
-                self._write_knn_cache()
+            if kc is not None:
+                self._write_knn_cache(kc)
+        # when the kNN stage lives in a shared cache, the run cache's
+        # dependency chain still needs to know it is in sync
+        if self._cache is not None and kc is not self._cache:
+            self._cache._loaded_ok["nns"] = True
 
         # graph selection (reference: :120-137)
         if self._nns.neighbor_connect_components:
@@ -172,8 +186,8 @@ class ComputeHierarchy:
     # stage caching (reference: Cacheable chain; see utils/cache.py)
     # ------------------------------------------------------------------
 
-    def _load_knn_cache(self) -> bool:
-        payload = self._cache.load("nns", self._nns)
+    def _load_knn_cache(self, cache: StageCache) -> bool:
+        payload = cache.load("nns", self._nns)
         if payload is None:
             return False
         from ..ops.graph import KnnGraph, PaddedGraph
@@ -194,7 +208,7 @@ class ComputeHierarchy:
         Log.info("ComputeHierarchy:: kNN stage loaded from cache")
         return True
 
-    def _write_knn_cache(self):
+    def _write_knn_cache(self, cache: StageCache):
         st = self.knn_stage
         payload = {"knn_idx": st.knn_graph.indices,
                    "knn_dist": st.knn_graph.distances}
@@ -209,7 +223,7 @@ class ComputeHierarchy:
         if st.connected_components is not None:
             payload.update(cc_labels=st.connected_components,
                            cc_num=np.array([st.num_connected_components]))
-        self._cache.write("nns", self._nns, payload)
+        cache.write("nns", self._nns, payload)
 
     def _load_hierarchy_cache(self) -> bool:
         payload = self._cache.load("ihs", (self._ihs, self._rws),
