@@ -244,48 +244,40 @@ def geodesic_component_distances(graph, data: np.ndarray, hierarchy,
 
     comp_ids = np.unique(np.concatenate([a, b]))
     samples = sample_represented(reps, comp_ids, max_s, seed=seed + level)
-    comp_pos = {int(c): i for i, c in enumerate(comp_ids)}
+    smask = samples >= 0
+    num_fields = len(comp_ids)
+    pos_of = np.full(int(comp_ids.max()) + 1, -1, dtype=np.int64)
+    pos_of[comp_ids] = np.arange(num_fields)
+    a_pos = pos_of[a]
+    b_pos = pos_of[b]
 
-    # compute fields in batches; evaluate Hausdorff terms per edge
+    # per (field component, evaluated component): max over the evaluated
+    # component's samples of the field value == the one-sided Hausdorff
+    # term; batched over fields, vectorized over components
     max_over_b_at_a = np.full(e, -np.inf, dtype=np.float32)  # max_p D_B(p)
     max_over_a_at_b = np.full(e, -np.inf, dtype=np.float32)
 
-    num_fields = len(comp_ids)
     for f0 in range(0, num_fields, field_batch):
-        batch = np.arange(f0, min(f0 + field_batch, num_fields))
-        fields = sssp_fields(in_idx, in_w, samples[batch])
-        local = {int(comp_ids[i]): j for j, i in enumerate(batch)}
+        fe = min(f0 + field_batch, num_fields)
+        fields = sssp_fields(in_idx, in_w, samples[f0:fe])   # [F, N]
+        vals = fields[:, np.maximum(samples, 0)]             # [F, C, S]
+        vals = np.where(smask[None], vals, -np.inf)
+        m = vals.max(axis=2)                                 # [F, C]
 
-        for side in (0, 1):
-            # side 0: field from B evaluated at A's samples
-            field_comp = b if side == 0 else a
-            eval_comp = a if side == 0 else b
-            for eidx in range(e):
-                fc = int(field_comp[eidx])
-                if fc not in local:
-                    continue
-                field = fields[local[fc]]
-                pts = samples[comp_pos[int(eval_comp[eidx])]]
-                pts = pts[pts >= 0]
-                vals = field[pts]
-                m = vals.max() if len(vals) else np.inf
-                if side == 0:
-                    max_over_b_at_a[eidx] = max(max_over_b_at_a[eidx],
-                                                float(m))
-                else:
-                    max_over_a_at_b[eidx] = max(max_over_a_at_b[eidx],
-                                                float(m))
+        sel = (b_pos >= f0) & (b_pos < fe)
+        max_over_b_at_a[sel] = np.maximum(
+            max_over_b_at_a[sel], m[b_pos[sel] - f0, a_pos[sel]])
+        sel = (a_pos >= f0) & (a_pos < fe)
+        max_over_a_at_b[sel] = np.maximum(
+            max_over_a_at_b[sel], m[a_pos[sel] - f0, b_pos[sel]])
 
     haus = np.maximum(max_over_b_at_a, max_over_a_at_b)
     reachable = np.isfinite(haus)
     out[reachable] = haus[reachable]
 
     if component_labels is not None:
-        cross = np.zeros(e, dtype=bool)
-        for eidx in range(e):
-            ra = reps[a[eidx]]
-            rb = reps[b[eidx]]
-            if (component_labels[ra[0]] != component_labels[rb[0]]):
-                cross[eidx] = True
-        out[cross] = _FLOAT_MAX
+        # WCC label of each component == label of any represented pixel
+        first_rep = np.array([r[0] for r in reps], dtype=np.int64)
+        comp_label = np.asarray(component_labels)[first_rep]
+        out[comp_label[a] != comp_label[b]] = _FLOAT_MAX
     return out
