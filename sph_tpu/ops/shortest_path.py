@@ -236,6 +236,51 @@ def geodesic_component_distances(graph, data: np.ndarray, hierarchy,
     e = len(a)
     out = np.full(e, _FLOAT_MAX, dtype=np.float32)
 
+    if level == 0:
+        # pixel level: components are singletons — apply the reference's
+        # direct-neighbor early-out (ShortestPath.cpp:127-134) in bulk.
+        # Spatially adjacent pixels are almost always kNN-connected, so
+        # SSSP fields are only needed for the rare unresolved pairs.
+        def direct_lookup(src, dst):
+            rows_i = idx[src]
+            rows_d = np.where(mask[src], dist[src], np.inf)
+            hit = rows_i == dst[:, None]
+            has = hit.any(axis=1) & mask[src].any(axis=1)
+            val = np.where(has,
+                           np.where(hit, rows_d, np.inf).min(axis=1),
+                           np.inf)
+            return val
+
+        d_ab = direct_lookup(a, b)
+        d_ba = direct_lookup(b, a)
+        resolved = np.isfinite(d_ab) & np.isfinite(d_ba)
+        out[resolved] = np.maximum(d_ab, d_ba)[resolved].astype(np.float32)
+
+        todo = np.nonzero(~resolved)[0]
+        if todo.size:
+            srcs = np.unique(np.concatenate([a[todo], b[todo]]))
+            src_pos = np.full(int(srcs.max()) + 1, -1, dtype=np.int64)
+            src_pos[srcs] = np.arange(len(srcs))
+            ta = src_pos[a[todo]]
+            tb = src_pos[b[todo]]
+            v_ab = np.full(todo.size, np.inf, dtype=np.float32)
+            v_ba = np.full(todo.size, np.inf, dtype=np.float32)
+            for f0 in range(0, len(srcs), field_batch):
+                fe = min(f0 + field_batch, len(srcs))
+                fields = sssp_fields(in_idx, in_w,
+                                     srcs[f0:fe, None].astype(np.int64))
+                sel = (ta >= f0) & (ta < fe)
+                v_ab[sel] = fields[ta[sel] - f0, b[todo][sel]]
+                sel = (tb >= f0) & (tb < fe)
+                v_ba[sel] = fields[tb[sel] - f0, a[todo][sel]]
+            haus0 = np.maximum(v_ab, v_ba)
+            ok = np.isfinite(haus0)
+            out[todo[ok]] = haus0[ok]
+        if component_labels is not None:
+            out[np.asarray(component_labels)[a]
+                != np.asarray(component_labels)[b]] = _FLOAT_MAX
+        return out
+
     reps = hierarchy.represented_points(level)
     sizes = np.array([len(r) for r in reps])
     max_s = int(sizes.max())
