@@ -196,7 +196,8 @@ def knn_ivf(data: np.ndarray, k: int,
             l2_squared: bool = False,
             nlist: Optional[int] = None,
             nprobe: Optional[int] = None,
-            seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+            seed: int = 0,
+            quantize: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Approximate kNN via IVF cluster pruning (reference: Knn.cpp
     computeIndexIVFFlat:138-175 — nlist = max(100, sqrt(n)), nprobe =
     sqrt(nlist)).
@@ -243,6 +244,18 @@ def knn_ivf(data: np.ndarray, k: int,
 
     # candidate sets: [N, nprobe * lmax]
     cand = lists[probes].reshape(n, -1)
+
+    if quantize:
+        # HNSWSQ-tier 8-bit scalar quantization (reference: Knn.cpp
+        # computeIndexHNSWSQ:246-319 with faiss QT_8bit): per-dimension
+        # affine int8 codes; candidates are scored on dequantized values,
+        # quartering the resident dataset memory at very large N.
+        lo = data.min(axis=0)
+        hi = data.max(axis=0)
+        scale_q = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+        codes = np.clip(np.round((data - lo) / scale_q), 0,
+                        255).astype(np.uint8)
+        data = (codes.astype(np.float32) * scale_q + lo).astype(np.float32)
 
     idx, dist = _ivf_score(jnp.asarray(data), jnp.asarray(cand),
                            k, metric.value, l2_squared)
@@ -320,7 +333,9 @@ def compute_knn(data: np.ndarray, k: int,
         return knn_bruteforce(data, k, metric, l2_squared)
     if index in (KnnIndex.IVF_FLAT, KnnIndex.HNSW, KnnIndex.HNSWSQ,
                  KnnIndex.HNSW_IVFPQ):
-        idx, dist = knn_ivf(data, k, metric, l2_squared, seed=seed)
+        quantize = index in (KnnIndex.HNSWSQ, KnnIndex.HNSW_IVFPQ)
+        idx, dist = knn_ivf(data, k, metric, l2_squared, seed=seed,
+                            quantize=quantize)
         # reference refills missing neighbors with an exact pass
         # (Knn.cpp:214-243); here: any -1 entries trigger exact fallback
         if np.any(idx < 0):

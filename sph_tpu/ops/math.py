@@ -125,3 +125,15 @@ def random_disk_init(n: int, radius: float, seed: int = 0) -> np.ndarray:
     r = radius * np.sqrt(rng.random(n, dtype=np.float32))
     t = 2.0 * np.pi * rng.random(n, dtype=np.float32)
     return np.stack([r * np.cos(t), r * np.sin(t)], axis=1).astype(np.float32)
+
+
+def jaccard_coefficient(a: np.ndarray, b: np.ndarray) -> float:
+    """Weighted Jaccard: sum(min) / sum(max) over aligned vectors
+    (reference: Math.cpp jaccardCoeff:53-116 — dense and sparse variants;
+    pass dense vectors or use SparseRows.to_dense rows)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    union = np.maximum(a, b).sum()
+    if union == 0:
+        return 0.0
+    return float(np.minimum(a, b).sum() / union)

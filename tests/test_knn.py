@@ -79,3 +79,20 @@ def test_compute_knn_dispatch():
     i1, d1 = compute_knn(data, 5, KnnIndex.FLAT)
     i2, d2 = compute_knn(data, 5, KnnIndex.BRUTE_FORCE)
     assert np.allclose(d1, d2)
+
+
+def test_ivf_quantized_recall():
+    pos, _ = create_3d_gaussians(1500, random_state=4,
+                                 centers=np.array([[0, 0, 0], [9, 9, 9]]))
+    idx_e, _ = knn_bruteforce(pos, 8)
+    idx_q, dist_q = knn_ivf(pos, 8, nlist=16, nprobe=6, quantize=True)
+    recall = np.mean([len(set(a) & set(b)) / 8.0
+                      for a, b in zip(idx_e, idx_q)])
+    assert recall > 0.9
+    assert np.all(np.diff(dist_q, axis=1) >= 0)
+
+
+def test_compute_knn_quantized_tier():
+    data = create_random_data(6, 300, seed=8)
+    i, d = compute_knn(data, 6, KnnIndex.HNSWSQ)
+    assert np.all(i[:, 0] == np.arange(300))

@@ -92,3 +92,12 @@ def test_random_disk_init_radius():
     assert r.max() <= 0.1 + 1e-6
     # sqrt sampling -> uniform density: mean radius = 2/3 R
     assert np.isclose(r.mean(), 0.1 * 2 / 3, rtol=0.05)
+
+
+def test_jaccard_coefficient():
+    from sph_tpu.ops.math import jaccard_coefficient
+    a = np.array([1.0, 0.0, 2.0])
+    b = np.array([0.5, 1.0, 2.0])
+    assert np.isclose(jaccard_coefficient(a, b),
+                      (0.5 + 0 + 2) / (1 + 1 + 2))
+    assert jaccard_coefficient(np.zeros(3), np.zeros(3)) == 0.0
