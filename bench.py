@@ -23,7 +23,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _start_watchdog(seconds: float):
+    """If the TPU tunnel wedges, device init hangs forever; emit an error
+    line and exit rather than stalling the driver."""
+    import threading
+
+    def fire():
+        print(json.dumps({"metric": "pines_e2e", "value": -1,
+                          "unit": "seconds", "vs_baseline": 0,
+                          "error": f"watchdog fired after {seconds}s "
+                                   "(device hang?)"}), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _start_watchdog(float(os.environ.get("BENCH_WATCHDOG_S",
+                                                    3000)))
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_sph"))
@@ -143,6 +163,7 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
+    watchdog.cancel()
     print(json.dumps(result))
 
 

@@ -69,6 +69,8 @@ class ComputeEmbedding:
         if n == 1:
             Log.info("ComputeEmbedding: only 1 point, not embedding")
             self.current_embedding = np.zeros((1, 2), np.float32)
+            if track_kl:
+                self.last_kl = 0.0
             return self.current_embedding
         if self._init_embedding is None or len(self._init_embedding) != n:
             self.init_embedding(n)
