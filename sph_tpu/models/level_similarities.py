@@ -281,18 +281,17 @@ class LevelSimilarities:
             pd = normalize_rows(topk_rows(walks, k, largest=True))
 
         scheme = self._lss.normalize_prob_dist
+        from ..ops.distributions import (gaussian_rows_bucketed,
+                                         smooth_knn_rows_bucketed)
         if scheme == NormalizationScheme.TSNE:
             mask = pd.mask & (pd.values != 0)
-            p = gaussian_row_distributions(jnp.asarray(pd.values),
-                                           jnp.asarray(mask),
-                                           jnp.float32(perp),
-                                           ignore_first=False)
-            pd = SparseRows(pd.indices, np.asarray(p), pd.num_cols)
+            p = gaussian_rows_bucketed(pd.values, mask, perp,
+                                       ignore_first=False)
+            pd = SparseRows(pd.indices, p, pd.num_cols)
         elif scheme == NormalizationScheme.UMAP:
             mask = pd.mask & (pd.values != 0)
-            p = smooth_knn_distributions(jnp.asarray(pd.values),
-                                         jnp.asarray(mask))
-            pd = SparseRows(pd.indices, np.asarray(p), pd.num_cols)
+            p = smooth_knn_rows_bucketed(pd.values, mask)
+            pd = SparseRows(pd.indices, p, pd.num_cols)
         else:
             Log.warn("LevelSimilarities: normalize_prob_dist should be TSNE "
                      "or UMAP; skipping normalization")
@@ -310,12 +309,11 @@ class LevelSimilarities:
                 f"{self._lss.component_sim}")
         ids, dists = self.distance_graphs[level]
         mask = ids >= 0
-        p = gaussian_row_distributions(
-            jnp.asarray(np.where(mask, dists, 0.0)), jnp.asarray(mask),
-            jnp.float32(perp), ignore_first=True)
+        from ..ops.distributions import gaussian_rows_bucketed
+        p = gaussian_rows_bucketed(np.where(mask, dists, 0.0), mask, perp,
+                                   ignore_first=True)
         c = self.hierarchy.num_components[level]
-        return SparseRows(np.where(mask, ids, -1).astype(np.int32),
-                          np.asarray(p), c)
+        return SparseRows(np.where(mask, ids, -1).astype(np.int32), p, c)
 
     # ------------------------------------------------------------------
 

@@ -280,10 +280,12 @@ class TsneComputation:
         # convention); rows arrive summing to ~1 each after symmetrization
         total = self._p.row_sums().sum()
         pv = (self._p.values / max(total, 1e-12)).astype(np.float32)
-        p_idx = np.full((npad, self._p.width), -1, dtype=np.int32)
-        p_val = np.zeros((npad, self._p.width), dtype=np.float32)
-        p_idx[:n] = self._p.indices
-        p_val[:n] = pv
+        from ..ops.bucketing import next_pow2
+        wpad = next_pow2(self._p.width)
+        p_idx = np.full((npad, wpad), -1, dtype=np.int32)
+        p_val = np.zeros((npad, wpad), dtype=np.float32)
+        p_idx[:n, :self._p.width] = self._p.indices
+        p_val[:n, :self._p.width] = pv
 
         self._p_idx = jnp.asarray(p_idx)
         self._p_val = jnp.asarray(p_val)

@@ -108,9 +108,12 @@ def knn_neighbor_overlap(unions: SparseRows, k: int, block: int = 256
     members[rows, unions.indices[mask]] = 1
     counts = np.zeros(cpad, dtype=np.float32)
     counts[:c] = unions.row_nnz()
+    from .bucketing import bucket_k
+    kk = min(bucket_k(min(k, c)), cpad)
     ids, dists = _overlap_knn(jnp.asarray(members), jnp.asarray(counts),
-                              jnp.int32(c), min(k, c), block)
-    return _finalize(np.asarray(ids)[:c], np.asarray(dists)[:c])
+                              jnp.int32(c), kk, block)
+    return _finalize(np.asarray(ids)[:c, :min(k, c)],
+                     np.asarray(dists)[:c, :min(k, c)])
 
 
 # ---------------------------------------------------------------------------
@@ -206,17 +209,22 @@ def _walks_knn(indices: jax.Array, values: jax.Array, n_valid, k: int,
 def knn_walks(walks: SparseRows, k: int, single_overlap: bool = False,
               block: int = 256) -> Tuple[np.ndarray, np.ndarray]:
     """dist = 1 - BC (NeighborWalksBhattacharyyaSpace) or 1 - max transition
-    (NeighborWalksSingleOverlapSpace)."""
+    (NeighborWalksSingleOverlapSpace).  k and the row width are bucketed so
+    levels share compiled programs."""
+    from .bucketing import bucket_k, next_pow2
     c = walks.num_rows
     block = min(block, _ceil_to(c, 8))
     cpad = _ceil_to(c, block)
-    idx = np.full((cpad, walks.width), -1, dtype=np.int32)
-    val = np.zeros((cpad, walks.width), dtype=np.float32)
-    idx[:c] = walks.indices
-    val[:c] = walks.values
+    wpad = next_pow2(walks.width)
+    kk = min(bucket_k(min(k, c)), cpad)
+    idx = np.full((cpad, wpad), -1, dtype=np.int32)
+    val = np.zeros((cpad, wpad), dtype=np.float32)
+    idx[:c, :walks.width] = walks.indices
+    val[:c, :walks.width] = walks.values
     ids, dists = _walks_knn(jnp.asarray(idx), jnp.asarray(val),
-                            jnp.int32(c), min(k, c), block, single_overlap)
-    return _finalize(np.asarray(ids)[:c], np.asarray(dists)[:c])
+                            jnp.int32(c), kk, block, single_overlap)
+    return _finalize(np.asarray(ids)[:c, :min(k, c)],
+                     np.asarray(dists)[:c, :min(k, c)])
 
 
 # ---------------------------------------------------------------------------
@@ -270,18 +278,23 @@ def _hausdorff_knn(points: jax.Array, mask: jax.Array, n_valid, k: int,
 
 def knn_hausdorff(data: np.ndarray, rep_samples: np.ndarray, k: int,
                   block: int = 32) -> Tuple[np.ndarray, np.ndarray]:
-    """rep_samples: [C, S] padded (-1) data-point ids per component."""
+    """rep_samples: [C, S] padded (-1) data-point ids per component.
+    S and k are bucketed so levels share compiled programs."""
+    from .bucketing import bucket_k, next_pow2
     c, s = rep_samples.shape
+    spad = next_pow2(s)
     block = min(block, _ceil_to(c, 8))
     cpad = _ceil_to(c, block)
-    samples = np.full((cpad, s), -1, dtype=np.int64)
-    samples[:c] = rep_samples
+    kk = min(bucket_k(min(k, c)), cpad)
+    samples = np.full((cpad, spad), -1, dtype=np.int64)
+    samples[:c, :s] = rep_samples
     mask = samples >= 0
     pts = data[np.maximum(samples, 0)]
     pts = np.where(mask[:, :, None], pts, 0.0).astype(np.float32)
     ids, dists = _hausdorff_knn(jnp.asarray(pts), jnp.asarray(mask),
-                                jnp.int32(c), min(k, c), block)
-    return _finalize(np.asarray(ids)[:c], np.asarray(dists)[:c])
+                                jnp.int32(c), kk, block)
+    return _finalize(np.asarray(ids)[:c, :min(k, c)],
+                     np.asarray(dists)[:c, :min(k, c)])
 
 
 # ---------------------------------------------------------------------------

@@ -216,6 +216,41 @@ def smooth_knn_distributions(values: jax.Array, mask: jax.Array,
     return sims
 
 
+def gaussian_rows_bucketed(values: np.ndarray, mask: np.ndarray,
+                           perplexity: float,
+                           ignore_first: bool) -> np.ndarray:
+    """Shape-bucketed host wrapper around gaussian_row_distributions: pads
+    rows/width to canonical sizes so every hierarchy level reuses one
+    compiled program (see ops/bucketing.py)."""
+    from .bucketing import bucket_rows, next_pow2, pad_axis
+    n, k = values.shape
+    npad = bucket_rows(n)
+    wpad = next_pow2(k)
+    v = pad_axis(pad_axis(np.asarray(values, np.float32), 0, npad, 0.0),
+                 1, wpad, 0.0)
+    m = pad_axis(pad_axis(np.asarray(mask, bool), 0, npad, False),
+                 1, wpad, False)
+    out = gaussian_row_distributions(jnp.asarray(v), jnp.asarray(m),
+                                     jnp.float32(perplexity),
+                                     ignore_first=ignore_first)
+    return np.asarray(out)[:n, :k]
+
+
+def smooth_knn_rows_bucketed(values: np.ndarray,
+                             mask: np.ndarray) -> np.ndarray:
+    """Bucketed wrapper around smooth_knn_distributions."""
+    from .bucketing import bucket_rows, next_pow2, pad_axis
+    n, k = values.shape
+    npad = bucket_rows(n)
+    wpad = next_pow2(k)
+    v = pad_axis(pad_axis(np.asarray(values, np.float32), 0, npad, 0.0),
+                 1, wpad, 0.0)
+    m = pad_axis(pad_axis(np.asarray(mask, bool), 0, npad, False),
+                 1, wpad, False)
+    out = smooth_knn_distributions(jnp.asarray(v), jnp.asarray(m))
+    return np.asarray(out)[:n, :k]
+
+
 def normalize_knn_distances(distances: np.ndarray, scheme,
                             perplexity: float = -1.0) -> np.ndarray:
     """Dispatcher over a fixed-k kNN graph's distance rows (reference:

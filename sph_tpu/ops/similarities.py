@@ -49,14 +49,18 @@ def walks_single_overlap_distance(walks: SparseRows, pairs_a: np.ndarray,
                                   pairs_b: np.ndarray) -> np.ndarray:
     """1 - max(w[a, b], w[b, a]) (reference: simRandomWalksSingleOverlay,
     Similarities.cpp:328-351)."""
-    idx = jnp.asarray(walks.indices)
-    val = jnp.asarray(walks.values)
-    a = jnp.asarray(pairs_a, jnp.int32)
-    b = jnp.asarray(pairs_b, jnp.int32)
+    from .bucketing import bucket_rows, pad_axis, pad_width_pow2
+    e = len(pairs_a)
+    epad = bucket_rows(e)
+    idx_h, val_h = pad_width_pow2(walks.indices, walks.values)
+    idx = jnp.asarray(idx_h)
+    val = jnp.asarray(val_h)
+    a = jnp.asarray(pad_axis(np.asarray(pairs_a, np.int32), 0, epad, 0))
+    b = jnp.asarray(pad_axis(np.asarray(pairs_b, np.int32), 0, epad, 0))
     ab = _lookup_pairs(idx, val, a, b)
     ba = _lookup_pairs(idx, val, b, a)
     sim = jnp.maximum(ab, ba)
-    return np.asarray(1.0 - sim)
+    return np.asarray(1.0 - sim)[:e]
 
 
 def walks_bhattacharyya_distance(walks: SparseRows, pairs_a: np.ndarray,
@@ -118,11 +122,18 @@ def neighbor_overlap_distance(unions: SparseRows, pairs_a: np.ndarray,
                               pairs_b: np.ndarray) -> np.ndarray:
     """1 - |inter| / min(|A|, |B|) (reference: simNeighborOverlap,
     Similarities.cpp:216-228)."""
+    from .bucketing import bucket_rows, next_pow2, pad_axis
+    e = len(pairs_a)
+    epad = bucket_rows(e)
+    wpad = next_pow2(unions.width)
     counts = jnp.asarray(unions.row_nnz().astype(np.int32))
-    sim = _overlap_pairs(jnp.asarray(unions.indices), counts,
-                         jnp.asarray(pairs_a, jnp.int32),
-                         jnp.asarray(pairs_b, jnp.int32))
-    return np.asarray(1.0 - sim)
+    idx = pad_axis(unions.indices, 1, wpad, -1)
+    sim = _overlap_pairs(jnp.asarray(idx), counts,
+                         jnp.asarray(pad_axis(
+                             np.asarray(pairs_a, np.int32), 0, epad, 0)),
+                         jnp.asarray(pad_axis(
+                             np.asarray(pairs_b, np.int32), 0, epad, 0)))
+    return np.asarray(1.0 - sim)[:e]
 
 
 # ---------------------------------------------------------------------------

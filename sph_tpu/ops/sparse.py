@@ -307,10 +307,17 @@ def bhattacharyya_pairs(sr: SparseRows, rows_a: np.ndarray,
     """BC(a, b) = sum_i sqrt(p_a[i] * p_b[i]) for given row pairs (reference:
     randomWalksBhattacharyya, Similarities.cpp:379-396).  Used for the
     merge-step NEIGH_WALKS distances where only (component, spatial neighbor)
-    pairs are needed."""
-    return np.asarray(_bhattacharyya_pairs_device(
-        jnp.asarray(sr.indices), jnp.asarray(sr.values),
-        jnp.asarray(rows_a, jnp.int32), jnp.asarray(rows_b, jnp.int32)))
+    pairs are needed.  Shapes are bucketed so every level shares compiled
+    programs."""
+    from .bucketing import bucket_rows, pad_axis, pad_width_pow2
+    e = len(rows_a)
+    epad = bucket_rows(e)
+    idx, val = pad_width_pow2(sr.indices, sr.values)
+    a = pad_axis(np.asarray(rows_a, np.int32), 0, epad, 0)
+    b = pad_axis(np.asarray(rows_b, np.int32), 0, epad, 0)
+    out = _bhattacharyya_pairs_device(
+        jnp.asarray(idx), jnp.asarray(val), jnp.asarray(a), jnp.asarray(b))
+    return np.asarray(out)[:e]
 
 
 @jax.jit
@@ -415,10 +422,12 @@ def pairwise_similarities(sr: SparseRows, k: int,
     block_eff = min(block, max(8, n))
     npad = ((n + block_eff - 1) // block_eff) * block_eff
 
-    indices = np.full((npad, sr.width), PAD, dtype=np.int32)
-    values = np.zeros((npad, sr.width), dtype=np.float32)
-    indices[:n] = sr.indices
-    values[:n] = sr.values
+    from .bucketing import next_pow2
+    wpad = next_pow2(sr.width)
+    indices = np.full((npad, wpad), PAD, dtype=np.int32)
+    values = np.zeros((npad, wpad), dtype=np.float32)
+    indices[:n, :sr.width] = sr.indices
+    values[:n, :sr.width] = sr.values
     scale = np.ones(npad, dtype=np.float32)
     if component_sizes is not None:
         scale[:n] = np.sqrt(component_sizes.astype(np.float32))
