@@ -132,9 +132,16 @@ def main():
     emb = ce.compute_tsne(pd, track_kl=True)
     warm_tsne_s = time.perf_counter() - t1
 
-    # measured pass (kernels compiled)
+    # measured pass (kernels compiled); BENCH_TRACE=1 captures a
+    # jax.profiler trace of it for xprof analysis
+    import contextlib
+    trace_ctx = contextlib.nullcontext()
+    if os.environ.get("BENCH_TRACE"):
+        from sph_tpu.utils.profiling import trace
+        trace_ctx = trace("/tmp/sph_tpu_trace")
     t2 = time.perf_counter()
-    ch = build()
+    with trace_ctx:
+        ch = build()
     hierarchy_s = time.perf_counter() - t2
     pd = ch.level_similarities.get_prob_dist(level)
     t3 = time.perf_counter()
