@@ -245,7 +245,7 @@ def _init_embedding(settings: EvalSettings, ch, level: int, num_comp: int,
 def _run_embeddings(settings: EvalSettings, run: dict, ch, out_dir: str):
     h = ch.image_hierarchy.hierarchy
     norm = run["data_dist_norm"]
-    from ..ops.sparse import symmetrize_tsne, symmetrize_umap
+    from ..ops.sparse import symmetrize_tsne
 
     for level in range(h.num_levels):
         if settings.skip_embedding_tsne and settings.skip_embedding_umap:
@@ -261,7 +261,8 @@ def _run_embeddings(settings: EvalSettings, run: dict, ch, out_dir: str):
             ce = ComputeEmbedding(ces)
             _init_embedding(settings, ch, level, num_comp, ce, out_dir,
                             "umap")
-            emb = ce.compute_umap(symmetrize_umap(pd))
+            # compute_umap applies the fuzzy union internally
+            emb = ce.compute_umap(pd)
             evalio.write_embedding(
                 os.path.join(out_dir, f"emb_umap_{level}.bin"), emb)
 

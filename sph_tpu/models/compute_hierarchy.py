@@ -128,8 +128,12 @@ class ComputeHierarchy:
         self.image_hierarchy = ImageHierarchy(
             data_graph, self._data, self._rows, self._cols,
             self._nns.neighbor_connect_components)
-        self.image_hierarchy.component_labels = (
-            self.knn_stage.connected_components)
+        # adopt CC labels only when components were NOT bridged (reference:
+        # ComputeHierarchy.cpp:139-151 — once connectComponents() ran, the
+        # graph is one component and stale labels must not veto geodesics)
+        if not self.knn_stage.has_components_connected:
+            self.image_hierarchy.component_labels = (
+                self.knn_stage.connected_components)
         self._finished_knn = True
 
     def compute_image_hierarchy(self):
@@ -290,6 +294,8 @@ class ComputeHierarchy:
         ls = self.level_similarities
         num_levels = int(payload["num_levels"][0])
         for i in range(num_levels):
+            if f"pd_idx_{i}" not in payload:
+                continue  # level not computed (lss.level_to_compute >= 0)
             ls.prob_dists[i] = SparseRows(
                 payload[f"pd_idx_{i}"], payload[f"pd_val_{i}"],
                 ls.hierarchy.num_components[i])

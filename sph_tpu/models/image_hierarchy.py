@@ -340,7 +340,7 @@ class ImageHierarchy:
         key = (level, self.hierarchy.num_components[level])
         if getattr(self, "_union_cache_key", None) != key:
             self._union_cache = sims.build_union_neighborhoods(
-                np.where(knn_idx >= 0, knn_idx, 0),
+                np.where(knn_idx >= 0, knn_idx, -1),
                 labels, self.hierarchy.num_components[level])
             self._union_cache_key = key
         return self._union_cache

@@ -181,7 +181,7 @@ class LevelSimilarities:
         if isinstance(self._graph, KnnGraph):
             knn_idx = self._graph.indices
         else:
-            knn_idx = np.where(self._graph.mask, self._graph.indices, 0)
+            knn_idx = np.where(self._graph.mask, self._graph.indices, -1)
         return build_union_neighborhoods(
             knn_idx, self.hierarchy.pixel_components[level],
             self.hierarchy.num_components[level])

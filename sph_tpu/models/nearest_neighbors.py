@@ -132,7 +132,8 @@ class NearestNeighbors:
         members = [np.nonzero(labels == c)[0] for c in range(ncc)]
         pairs, dists = [], []
         for ca, cb in mst:
-            ia, ib, d = _closest_pair(data, members[ca], members[cb])
+            ia, ib, d = _closest_pair(data, members[ca], members[cb],
+                                      self._nns.l2_squared)
             pairs.append((ia, ib))
             dists.append(d)
         graph = insert_edges_bidirectional(
@@ -149,11 +150,13 @@ class NearestNeighbors:
         return self._has_connected
 
 
-def _closest_pair(data: np.ndarray, ids_a: np.ndarray, ids_b: np.ndarray
-                  ) -> tuple[int, int, float]:
+def _closest_pair(data: np.ndarray, ids_a: np.ndarray, ids_b: np.ndarray,
+                  l2_squared: bool = False) -> tuple[int, int, float]:
     """Min-distance point pair between two components (reference:
     insertConnectionsBetweenComponents, NearestNeighbors.cpp:592-656 — the
-    1-NN FAISS search becomes a blocked distance matrix + argmin)."""
+    1-NN FAISS search becomes a blocked distance matrix + argmin).  The
+    returned distance matches the graph's metric scale (squared L2 when
+    l2_squared)."""
     a = data[ids_a]
     b = data[ids_b]
     best = (0, 0, np.inf)
@@ -167,4 +170,5 @@ def _closest_pair(data: np.ndarray, ids_a: np.ndarray, ids_b: np.ndarray
         val = float(d2[r, c])
         if val < best[2]:
             best = (int(ids_a[i0 + r]), int(ids_b[c]), val)
-    return best[0], best[1], float(np.sqrt(max(best[2], 0.0)))
+    d2 = max(best[2], 0.0)
+    return best[0], best[1], float(d2 if l2_squared else np.sqrt(d2))

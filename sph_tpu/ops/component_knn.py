@@ -40,25 +40,6 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _topk_from_dist_blocks(dist_fn, c: int, k: int, block: int
-                           ) -> Tuple[np.ndarray, np.ndarray]:
-    """Stream row blocks of a [C, C] distance matrix through top-k.
-
-    dist_fn(r0) -> [block, C] distances for rows [r0*block, (r0+1)*block).
-    """
-    cpad = _ceil_to(c, block)
-    num_blocks = cpad // block
-
-    def row_block(rb):
-        d = dist_fn(rb)
-        neg, sel = jax.lax.top_k(-d, k)
-        return -neg, sel
-
-    dists, ids = jax.lax.map(row_block, jnp.arange(num_blocks))
-    return (np.asarray(ids.reshape(cpad, k))[:c],
-            np.asarray(dists.reshape(cpad, k))[:c])
-
-
 # ---------------------------------------------------------------------------
 # NEIGH_OVERLAP
 # ---------------------------------------------------------------------------
@@ -254,8 +235,7 @@ def _hausdorff_knn(points: jax.Array, mask: jax.Array, n_valid, k: int,
                      precision=_HP)
         d2 = jnp.maximum(rsq[:, None] + flat_sq[None, :] - 2.0 * ip, 0.0)
         dist = jnp.sqrt(d2).reshape(block, s, cpad, s)
-        pair_ok = (rmask[:, :, None, None] & mask.T[None, None].reshape(
-            1, 1, cpad, s))
+        pair_ok = rmask[:, :, None, None] & mask[None, None, :, :]
         dist_inf = jnp.where(pair_ok, dist, jnp.inf)
         # h1: max over row samples of min over col samples
         m1 = jnp.min(dist_inf, axis=3)                       # [block,S,Cpad]

@@ -72,11 +72,17 @@ def _bellman_ford(in_idx: jax.Array, in_w: jax.Array, init: jax.Array,
     safe_idx = jnp.where(in_idx < 0, 0, in_idx)
 
     def relax(d):
-        best = d
-        for j in range(dmax):
-            cand = d[:, safe_idx[:, j]] + in_w[None, :, j]
-            best = jnp.minimum(best, cand)
-        return best
+        # fori over the in-degree dimension keeps the compiled graph O(1)
+        # in dmax (hub nodes can have thousands of in-edges after
+        # symmetrization; unrolling would explode compile time)
+        def step(j, best):
+            idx_j = jax.lax.dynamic_slice_in_dim(safe_idx, j, 1,
+                                                 axis=1)[:, 0]
+            w_j = jax.lax.dynamic_slice_in_dim(in_w, j, 1, axis=1)[:, 0]
+            cand = d[:, idx_j] + w_j[None, :]
+            return jnp.minimum(best, cand)
+
+        return jax.lax.fori_loop(0, dmax, step, d)
 
     def cond(state):
         it, d, changed = state

@@ -84,6 +84,10 @@ def build_union_neighborhoods(knn_indices: np.ndarray,
     n, k = knn_indices.shape
     comp = np.repeat(pixel_components.astype(np.int64), k)
     nbr = knn_indices.ravel().astype(np.int64)
+    # drop padded slots (-1) — mapping them to pixel 0 would inject a fake
+    # shared member into every component with a ragged row
+    ok = nbr >= 0
+    comp, nbr = comp[ok], nbr[ok]
     key = np.unique(comp * n + nbr)
     rows = (key // n).astype(np.int64)
     cols = (key % n).astype(np.int32)
