@@ -101,3 +101,30 @@ def test_jaccard_coefficient():
     assert np.isclose(jaccard_coefficient(a, b),
                       (0.5 + 0 + 2) / (1 + 1 + 2))
     assert jaccard_coefficient(np.zeros(3), np.zeros(3)) == 0.0
+
+
+def test_hausdorff_knn_ragged_samples():
+    """Regression: ragged per-component sample counts must not corrupt the
+    validity mask (review finding: reshape-instead-of-broadcast scrambled
+    column masks)."""
+    from sph_tpu.ops.component_knn import knn_hausdorff
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((12, 3)).astype(np.float32)
+    # 3 components with 2/4/3 samples
+    rep = np.full((3, 4), -1, dtype=np.int64)
+    rep[0, :2] = [0, 1]
+    rep[1, :4] = [2, 3, 4, 5]
+    rep[2, :3] = [6, 7, 8]
+    ids, dists = knn_hausdorff(data, rep, k=3)
+
+    def naive(ra, rb):
+        a = data[[r for r in ra if r >= 0]]
+        b = data[[r for r in rb if r >= 0]]
+        d = np.sqrt(((a[:, None] - b[None]) ** 2).sum(-1))
+        return max(d.min(1).max(), d.min(0).max())
+
+    for i in range(3):
+        for pos in range(3):
+            j = ids[i, pos]
+            expect = 0.0 if i == j else naive(rep[i], rep[j])
+            assert np.isclose(dists[i, pos], expect, atol=1e-4), (i, j)
