@@ -65,9 +65,9 @@ def main():
     for level in range(h.num_levels - 1, -1, -1):
         pd = ch.level_similarities.get_prob_dist(level)
         if prev is not None:
-            from sph_tpu import (average_position_of_children,
+            from sph_tpu import (broadcast_parent_positions,
                                  scale_embedding_to_one)
-            init = average_position_of_children(prev, h.parents[level])
+            init = broadcast_parent_positions(prev, h.parents[level])
             ce.init_embedding(h.num_components[level],
                               scale_embedding_to_one(init))
         emb = ce.compute_tsne(pd, track_kl=True)

@@ -20,6 +20,7 @@ from .settings import (CacheSettings, ComponentSim, EmbeddingInit,
 from .models.compute_embedding import (ComputeEmbedding,
                                        ComputeEmbeddingSettings,
                                        average_position_of_children,
+                                       broadcast_parent_positions,
                                        scale_embedding_to_one)
 from .models.compute_hierarchy import ComputeHierarchy
 from .models.hierarchy import Hierarchy
@@ -45,4 +46,5 @@ __all__ = [
     "NeighConnection", "NormalizationScheme", "NormType",
     "RandomWalkHandling", "RandomWalkReduction", "RandomWalkSettings",
     "Scaler", "scale_embedding_to_one", "average_position_of_children",
+    "broadcast_parent_positions",
 ]

@@ -238,7 +238,10 @@ def _init_embedding(settings: EvalSettings, ch, level: int, num_comp: int,
         prev_path = os.path.join(out_dir, f"emb_{emb_type}_{level - 1}.bin")
         if os.path.exists(prev_path):
             prev = evalio.read_embedding(prev_path)
-            init = average_position_of_children(prev, h.parents[level - 1])
+            # level L seeds from the mean of its level-(L-1) children's
+            # positions (reference: RunEvaluation.cpp:448-455)
+            init = average_position_of_children(prev, h.parents[level - 1],
+                                                num_comp)
             ce.init_embedding(num_comp, scale_embedding_to_one(init))
 
 

@@ -126,10 +126,26 @@ def scale_embedding_to_one(emb: np.ndarray) -> np.ndarray:
     return emb / mx if mx > 0 else emb
 
 
-def average_position_of_children(emb_coarse: np.ndarray,
-                                 parents: np.ndarray) -> np.ndarray:
+def average_position_of_children(emb_fine: np.ndarray,
+                                 parents: np.ndarray,
+                                 num_parents: Optional[int] = None
+                                 ) -> np.ndarray:
+    """Fine-to-coarse init: each coarse component starts at the mean of its
+    children's embedded positions (reference:
+    averageEmbeddingPositionOfChildren, utils/Embedding.cpp:131 — the eval
+    driver seeds level L from level L-1's embedding)."""
+    parents = np.asarray(parents)
+    if num_parents is None:
+        num_parents = int(parents.max()) + 1
+    sums = np.zeros((num_parents, emb_fine.shape[1]), dtype=np.float64)
+    np.add.at(sums, parents, emb_fine)
+    counts = np.bincount(parents, minlength=num_parents)[:, None]
+    return (sums / np.maximum(counts, 1)).astype(np.float32)
+
+
+def broadcast_parent_positions(emb_coarse: np.ndarray,
+                               parents: np.ndarray) -> np.ndarray:
     """Coarse-to-fine init: each fine component starts at its parent's
-    position (reference: averageEmbeddingPositionOfChildren,
-    utils/Embedding.cpp:131 — used by the eval driver's previous-level
-    init)."""
+    position (the inverse warm start, used when embedding coarse levels
+    first)."""
     return emb_coarse[parents]

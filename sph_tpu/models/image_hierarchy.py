@@ -361,7 +361,17 @@ class ImageHierarchy:
 
     def _geodesic_distances(self, level: int, a: np.ndarray, b: np.ndarray
                             ) -> np.ndarray:
-        from ..ops.shortest_path import geodesic_component_distances
+        from ..ops.shortest_path import (CONTRACT_THRESHOLD,
+                                         contracted_geodesic_pairs,
+                                         geodesic_component_distances)
+        c = self.hierarchy.num_components[level]
+        if level > 0 and c > CONTRACT_THRESHOLD:
+            # pixel-level fields scale as C x N; large levels use the
+            # contracted component-graph geodesics instead
+            return contracted_geodesic_pairs(
+                self.hierarchy, self._data, level, a, b,
+                num_samples=self._ihs.num_geodesic_samples,
+                seed=self._rws.random_seed)
         return geodesic_component_distances(
             self._graph, self._data, self.hierarchy, level, a, b,
             num_samples=self._ihs.num_geodesic_samples,

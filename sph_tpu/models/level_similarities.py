@@ -144,7 +144,8 @@ class LevelSimilarities:
             from ..ops.shortest_path import geodesic_hausdorff_knn
             ids, dists = geodesic_hausdorff_knn(
                 self._graph, self.hierarchy, level, k,
-                self.hierarchy.settings.num_geodesic_samples)
+                self.hierarchy.settings.num_geodesic_samples,
+                data=self._data)
         elif cs in (ComponentSim.NEIGH_WALKS, ComponentSim.GEO_WALKS,
                     ComponentSim.NEIGH_WALKS_SINGLE_OVERLAP):
             if rw_handling == RandomWalkHandling.MERGE_RW_NEW_WALKS_AND_KNN:

@@ -163,10 +163,172 @@ def shortest_path_fields(graph, sources: np.ndarray) -> np.ndarray:
                        np.asarray(sources, np.int64)[:, None])
 
 
+def contracted_geodesics(hierarchy, data: np.ndarray, level: int,
+                         num_samples: int = 0, seed: int = 1,
+                         batch: int = 256) -> np.ndarray:
+    """All-pairs geodesic distances over the *contracted* component graph.
+
+    TPU-native multilevel approximation for large component counts, where
+    pixel-level SSSP fields (C fields x N pixels) are infeasible for any
+    implementation (the reference's per-pair A* + cache has the same
+    asymptotic wall): nodes are the level's components, edges its spatial
+    adjacency, edge weights the sampled euclidean Hausdorff between the
+    adjacent components (locally, euclid ~= geodesic — the standard manifold
+    assumption), and geodesics are Bellman-Ford fields over this C-node
+    graph.  Paths between distant components necessarily traverse component
+    adjacencies, so the contraction preserves the geodesic structure the
+    GEO similarities measure.
+
+    Returns the dense [C, C] distance matrix (inf where unreachable).
+    """
+    from .similarities import (hausdorff_point_set_distance,
+                               sample_represented)
+
+    adj = hierarchy.spatial_neighbors_of(level)
+    c, deg = adj.shape
+    src = np.repeat(np.arange(c, dtype=np.int64), deg)
+    dst = adj.ravel()
+    ok = dst >= 0
+    src, dst = src[ok], dst[ok]
+
+    reps = hierarchy.represented_points(level)
+    sizes = np.array([len(r) for r in reps])
+    max_s = int(sizes.max())
+    if num_samples and num_samples > 0:
+        max_s = min(max_s, num_samples)
+    rep_a = sample_represented(reps, src, max_s, seed=seed + level)
+    rep_b = sample_represented(reps, dst, max_s, seed=seed + level + 1)
+    w = hausdorff_point_set_distance(data, rep_a, rep_b)
+
+    # per-node padded in-edge table over the component graph
+    in_idx, in_w = _edge_list_reverse(c, src, dst, w)
+
+    out = np.empty((c, c), dtype=np.float32)
+    for f0 in range(0, c, batch):
+        fe = min(f0 + batch, c)
+        sources = np.arange(f0, fe, dtype=np.int64)[:, None]
+        out[f0:fe] = sssp_fields(in_idx, in_w, sources)
+    return out
+
+
+def contracted_geodesic_knn(hierarchy, data: np.ndarray, level: int,
+                            k: int, num_samples: int = 0, seed: int = 1,
+                            batch: int = 256):
+    """Streaming kNN over contracted geodesics: fields are computed per
+    source batch and reduced to top-k immediately, so the [C, C] matrix
+    never materializes (usable at tens of thousands of components)."""
+    from .graph import ensure_self_first
+    from .similarities import (hausdorff_point_set_distance,
+                               sample_represented)
+
+    adj = hierarchy.spatial_neighbors_of(level)
+    c, deg = adj.shape
+    src = np.repeat(np.arange(c, dtype=np.int64), deg)
+    dst = adj.ravel()
+    ok = dst >= 0
+    src, dst = src[ok], dst[ok]
+
+    reps = hierarchy.represented_points(level)
+    sizes = np.array([len(r) for r in reps])
+    max_s = int(sizes.max())
+    if num_samples and num_samples > 0:
+        max_s = min(max_s, num_samples)
+    rep_a = sample_represented(reps, src, max_s, seed=seed + level)
+    rep_b = sample_represented(reps, dst, max_s, seed=seed + level + 1)
+    w = hausdorff_point_set_distance(data, rep_a, rep_b)
+    in_idx, in_w = _edge_list_reverse(c, src, dst, w)
+
+    kk = min(k, c)
+    ids = np.empty((c, kk), dtype=np.int32)
+    dists = np.empty((c, kk), dtype=np.float32)
+    for f0 in range(0, c, batch):
+        fe = min(f0 + batch, c)
+        fields = sssp_fields(in_idx, in_w,
+                             np.arange(f0, fe, dtype=np.int64)[:, None])
+        d = np.where(np.isfinite(fields), fields, _FLOAT_MAX)
+        sel = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        dsel = np.take_along_axis(d, sel, axis=1)
+        order = np.argsort(dsel, axis=1, kind="stable")
+        ids[f0:fe] = np.take_along_axis(sel, order, axis=1)
+        dists[f0:fe] = np.take_along_axis(dsel, order, axis=1)
+    return ensure_self_first(ids, dists)[:2]
+
+
+def contracted_geodesic_pairs(hierarchy, data: np.ndarray, level: int,
+                              a: np.ndarray, b: np.ndarray,
+                              num_samples: int = 0, seed: int = 1,
+                              batch: int = 256) -> np.ndarray:
+    """Contracted geodesic distances for explicit (a, b) component pairs
+    (the merge step's spatial-neighbor edges at large C)."""
+    from .similarities import (hausdorff_point_set_distance,
+                               sample_represented)
+
+    adj = hierarchy.spatial_neighbors_of(level)
+    c, deg = adj.shape
+    src = np.repeat(np.arange(c, dtype=np.int64), deg)
+    dst = adj.ravel()
+    ok = dst >= 0
+    src, dst = src[ok], dst[ok]
+
+    reps = hierarchy.represented_points(level)
+    sizes = np.array([len(r) for r in reps])
+    max_s = int(sizes.max())
+    if num_samples and num_samples > 0:
+        max_s = min(max_s, num_samples)
+    rep_a = sample_represented(reps, src, max_s, seed=seed + level)
+    rep_b = sample_represented(reps, dst, max_s, seed=seed + level + 1)
+    w = hausdorff_point_set_distance(data, rep_a, rep_b)
+    in_idx, in_w = _edge_list_reverse(c, src, dst, w)
+
+    e = len(a)
+    out = np.full(e, _FLOAT_MAX, dtype=np.float32)
+    srcs = np.unique(a)
+    pos = np.full(int(srcs.max()) + 1, -1, dtype=np.int64)
+    pos[srcs] = np.arange(len(srcs))
+    ap = pos[a]
+    for f0 in range(0, len(srcs), batch):
+        fe = min(f0 + batch, len(srcs))
+        fields = sssp_fields(in_idx, in_w,
+                             srcs[f0:fe, None].astype(np.int64))
+        sel = (ap >= f0) & (ap < fe)
+        vals = fields[ap[sel] - f0, b[sel]]
+        out[sel] = np.where(np.isfinite(vals), vals, _FLOAT_MAX)
+    return out
+
+
+def _edge_list_reverse(n: int, src: np.ndarray, dst: np.ndarray,
+                       w: np.ndarray):
+    """Padded in-edge table from an explicit (src, dst, w) edge list;
+    both directions are added (spatial adjacency is symmetric)."""
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    ww = np.concatenate([w, w]).astype(np.float32)
+    deg = np.bincount(d, minlength=n)
+    dmax = max(int(deg.max()) if deg.size else 1, 1)
+    in_idx = np.full((n, dmax), -1, dtype=np.int32)
+    in_w = np.full((n, dmax), np.inf, dtype=np.float32)
+    order = np.argsort(d, kind="stable")
+    d_s, s_s, w_s = d[order], s[order], ww[order]
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=starts[1:])
+    slot = np.arange(d_s.size) - starts[d_s]
+    in_idx[d_s, slot] = s_s
+    in_w[d_s, slot] = w_s
+    return in_idx, in_w
+
+
+# components above this count use the contracted-graph approximation
+# (exact pixel-level fields scale as C x N and stop being feasible)
+CONTRACT_THRESHOLD = 4096
+
+
 def geodesic_hausdorff_knn(graph, hierarchy, level: int, k: int,
                            num_samples: int = 0, seed: int = 1,
-                           field_batch: int = 256):
-    """Exact kNN over components under the geodesic-Hausdorff metric
+                           field_batch: int = 256, data=None):
+    """Exact kNN over components under the geodesic-Hausdorff metric.
+    Above CONTRACT_THRESHOLD components, dispatches to the contracted-graph
+    approximation (see contracted_geodesic_knn) — exact pixel-level fields
+    scale as C x N and are infeasible there for any implementation.
     (reference: GeodesicPathSpace.hpp DISTFUNC + exact search loop,
     LevelSimilarities.cpp:211-252).
 
@@ -177,6 +339,11 @@ def geodesic_hausdorff_knn(graph, hierarchy, level: int, k: int,
     """
     from .graph import KnnGraph, ensure_self_first
 
+    c = hierarchy.num_components[level]
+    if level > 0 and c > CONTRACT_THRESHOLD and data is not None:
+        return contracted_geodesic_knn(hierarchy, data, level, k,
+                                       num_samples, seed)
+
     if isinstance(graph, KnnGraph):
         idx, dist = graph.indices, graph.distances
         mask = np.ones_like(idx, dtype=bool)
@@ -186,7 +353,6 @@ def geodesic_hausdorff_knn(graph, hierarchy, level: int, k: int,
 
     from .similarities import sample_represented
     reps = hierarchy.represented_points(level)
-    c = hierarchy.num_components[level]
     sizes = np.array([len(r) for r in reps])
     max_s = int(sizes.max())
     if num_samples and num_samples > 0:

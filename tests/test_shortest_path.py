@@ -101,3 +101,65 @@ def test_geodesic_component_distances_level0():
         expect = max(da, db)
         if np.isfinite(expect):
             assert np.isclose(out[i], expect, atol=1e-3), i
+
+
+def test_contracted_geodesics_consistency():
+    """The contracted component-graph geodesics must agree with direct edge
+    weights for adjacent components and satisfy metric sanity (symmetry,
+    triangle-ish) on a small hierarchy."""
+    from sph_tpu.models.hierarchy import Hierarchy, HierarchySettings
+    from sph_tpu.ops.shortest_path import (contracted_geodesic_knn,
+                                           contracted_geodesic_pairs,
+                                           contracted_geodesics)
+    rng = np.random.default_rng(3)
+    rows, cols = 6, 6
+    data = rng.standard_normal((36, 4)).astype(np.float32)
+    h = Hierarchy(HierarchySettings(num_rows=rows, num_cols=cols))
+    h.init_first_level(36)
+    # level 1: 9 components of 2x2 blocks
+    labels = ((np.arange(36) // 12) * 3
+              + (np.arange(36) % 6) // 2).astype(np.int64)
+    from sph_tpu.settings import RandomWalkSettings
+    h.settings.component_sim = None  # avoid walk updates
+
+    h.parents.append(labels)
+    h.num_components.append(9)
+    h.pixel_components.append(labels)
+    # spatial neighbors from the grid
+    grid = h.spatial_neighbors_of(0)
+    n, deg = grid.shape
+    src = labels[np.repeat(np.arange(n), deg)]
+    ok = grid.ravel() >= 0
+    dst = labels[np.maximum(grid.ravel(), 0)]
+    src, dst = src[ok], dst[ok]
+    diff = src != dst
+    key = np.unique(src[diff] * 9 + dst[diff])
+    urow, ucol = key // 9, key % 9
+    counts = np.bincount(urow, minlength=9)
+    width = counts.max()
+    adj = np.full((9, width), -1, dtype=np.int64)
+    starts = np.zeros(10, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(len(urow)) - starts[urow]
+    adj[urow, slot] = ucol
+    h.spatial_neighbors.append(adj)
+
+    d = contracted_geodesics(h, data, 1)
+    assert d.shape == (9, 9)
+    assert np.allclose(np.diag(d), 0.0)
+    assert np.allclose(d, d.T, atol=1e-4)
+    finite = np.isfinite(d)
+    assert finite.all()  # grid adjacency is connected
+
+    # pairs API agrees with the dense matrix
+    a = np.array([0, 3, 7])
+    b = np.array([8, 1, 2])
+    pairs = contracted_geodesic_pairs(h, data, 1, a, b)
+    assert np.allclose(pairs, d[a, b], atol=1e-4)
+
+    # knn API: self first, ascending, consistent with dense
+    ids, dists = contracted_geodesic_knn(h, data, 1, k=4)
+    assert np.all(ids[:, 0] == np.arange(9))
+    for i in range(9):
+        assert np.all(np.diff(dists[i]) >= -1e-5)
+        assert np.allclose(dists[i, 1:], np.sort(d[i])[1:4], atol=1e-4)
