@@ -318,8 +318,11 @@ def _edge_list_reverse(n: int, src: np.ndarray, dst: np.ndarray,
 
 
 # components above this count use the contracted-graph approximation
-# (exact pixel-level fields scale as C x N and stop being feasible)
-CONTRACT_THRESHOLD = 4096
+# (exact pixel-level fields scale as C x N and stop being feasible);
+# overridable for experiments via SPH_CONTRACT_THRESHOLD
+import os as _os
+
+CONTRACT_THRESHOLD = int(_os.environ.get("SPH_CONTRACT_THRESHOLD", 4096))
 
 
 def geodesic_hausdorff_knn(graph, hierarchy, level: int, k: int,

@@ -82,3 +82,28 @@ def test_cc_labeling_reference_fixture():
     assert nscc == 2
     # {5} alone; everyone else together
     assert (slabels == slabels[5]).sum() == 1
+
+
+def test_merge_nodes_reference_fixture():
+    """Golden merge fixture (reference: testMergeNodesSynth,
+    HierarchyTest.cpp:787-890): 9 nodes -> 3 parents, unweighted sum
+    merge must reproduce the exact merged matrix."""
+    from sph_tpu.ops.sparse import SparseRows, merge_rows_by_parents
+    dense = np.zeros((9, 9), np.float32)
+    entries = [(0, 1, 7), (0, 2, 8), (1, 0, 9), (1, 2, 11), (1, 8, 6),
+               (2, 0, 4), (2, 1, 2), (2, 3, 3), (2, 5, 13), (3, 2, 1),
+               (3, 4, 7), (3, 5, 5), (4, 3, 9), (4, 6, 19), (5, 2, 2),
+               (5, 3, 6), (5, 6, 21), (6, 4, 5), (6, 5, 9), (6, 7, 3),
+               (6, 8, 8), (7, 6, 5), (7, 8, 9), (8, 1, 4), (8, 6, 6),
+               (8, 7, 2)]
+    for r, c, v in entries:
+        dense[r, c] = v
+    # NOTE: the reference's printed data-level matrix shows row 6 as
+    # [0 0 0 0 6 9 0 3 8] but the inserted value is (6,4)=5; we follow the
+    # inserted values (the asserts below match the reference's REQUIREs)
+    sr = SparseRows.from_dense(dense)
+    parents = np.array([0, 0, 0, 1, 1, 1, 2, 2, 2])
+    merged = merge_rows_by_parents(sr, parents, 3, norm=False,
+                                   weight_by_size=False)
+    expect = np.array([[41, 16, 6], [3, 27, 40], [4, 14, 33]], np.float32)
+    assert np.allclose(merged.to_dense(), expect)
