@@ -99,10 +99,11 @@ class ComputeHierarchy:
             self.knn_stage.compute()
             if kc is not None:
                 self._write_knn_cache(kc)
-        # when the kNN stage lives in a shared cache, the run cache's
-        # dependency chain still needs to know it is in sync
+        # when the kNN stage lives in a shared cache, mirror its load
+        # status into the run cache's dependency chain: a recomputed kNN
+        # stage must invalidate the run's hierarchy/levels caches
         if self._cache is not None and kc is not self._cache:
-            self._cache._loaded_ok["nns"] = True
+            self._cache._loaded_ok["nns"] = loaded
 
         # graph selection (reference: :120-137)
         if self._nns.neighbor_connect_components:
@@ -239,11 +240,19 @@ class ComputeHierarchy:
         from .hierarchy import Hierarchy, HierarchySettings
         ih.set_settings(self._ihs, self._rws)
         num_levels = int(payload["num_levels"][0])
+        # the full settings block, identical to ImageHierarchy.compute —
+        # a cache-loaded hierarchy must behave exactly like a fresh one
         hier = Hierarchy(HierarchySettings(
             num_rows=self._rows, num_cols=self._cols,
             neighbor_connection=self._ihs.neighbor_connection,
             component_sim=self._ihs.component_sim,
-            rw_handling=self._ihs.rw_handling))
+            rw_norm_sim=self._ihs.rw_norm_sim,
+            rw_weight_merge_by_size=self._ihs.rw_weight_merge_by_size,
+            rw_handling=self._ihs.rw_handling,
+            rw_remove_self_sim_after_merging=(
+                self._ihs.rw_remove_self_sim_after_merging),
+            num_geodesic_samples=self._ihs.num_geodesic_samples,
+            verbose=self._ihs.verbose))
         hier.num_components = payload["num_components"].tolist()
         hier.pixel_components = [payload[f"pix_{i}"]
                                  for i in range(num_levels)]

@@ -161,28 +161,10 @@ class ImageHierarchy:
                 self.hierarchy.merged_data_graphs.append(dist_rows)
 
     def _normalize_graph_rows(self, idx, dist, mask) -> np.ndarray:
-        import jax.numpy as jnp
-        from ..ops.distributions import (gaussian_row_distributions,
-                                         linear_row_distributions,
-                                         smooth_knn_distributions)
-        scheme = self._ihs.norm_knn_distances
-        d = jnp.asarray(dist)
-        m = jnp.asarray(mask)
-        if scheme == NormalizationScheme.TSNE:
-            p = gaussian_row_distributions(d, m, jnp.float32(-1.0),
-                                           ignore_first=True)
-        elif scheme == NormalizationScheme.LINEAR:
-            m2 = np.asarray(mask).copy()
-            m2[:, 0] = False
-            p = linear_row_distributions(d, jnp.asarray(m2))
-        elif scheme == NormalizationScheme.UMAP:
-            m2 = np.asarray(mask).copy()
-            m2[:, 0] = False
-            p = smooth_knn_distributions(d, jnp.asarray(m2))
-            p = p / jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-12)
-        else:
-            p = d
-        return np.asarray(p)
+        from ..ops.distributions import distance_rows_to_probabilities
+        return distance_rows_to_probabilities(
+            dist, mask, self._ihs.norm_knn_distances, perplexity=-1.0,
+            ignore_first=True, umap_row_norm=True)
 
     # ------------------------------------------------------------------
 
@@ -411,9 +393,17 @@ class ImageHierarchy:
             msrc = src_s[first_idx[have]]
             mdst = dst_s[first_idx[have]]
 
-        zero_cnt = int(c - int(have.sum()))
+        # reference counter semantics: mergeMinBelow only counts a component
+        # when nothing beat FLT_MAX (i.e. thresh itself was FLT_MAX,
+        # ImageHierarchy.cpp:343-351); mergeAllBelow counts any empty
+        # candidate list (:289-291)
+        unmerged = int(c - int(have.sum()))
+        if self._ihs.merge_multiple or thresh >= float(_FLOAT_MAX):
+            zero_cnt = unmerged
+        else:
+            zero_cnt = 0
         forced_cnt = 0
-        if zero_cnt and self._ihs.is_always_merge:
+        if unmerged and self._ihs.is_always_merge:
             # forced random merge with a spatial neighbor (reference:
             # RandomMergeNeighbor, ImageHierarchy.cpp:251-259)
             adj = self.hierarchy.spatial_neighbors_of(

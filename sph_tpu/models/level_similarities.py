@@ -238,9 +238,7 @@ class LevelSimilarities:
 
     def _probdist_from_data_graph(self, perp: float) -> SparseRows:
         """Reference: :528-538 — normalize the data kNN graph directly."""
-        import jax.numpy as jnp
-        from ..ops.distributions import (gaussian_row_distributions,
-                                         smooth_knn_distributions)
+        from ..ops.distributions import distance_rows_to_probabilities
         if isinstance(self._graph, KnnGraph):
             idx, dist = self._graph.indices, self._graph.distances
             mask = np.ones_like(idx, dtype=bool)
@@ -248,18 +246,12 @@ class LevelSimilarities:
             idx, dist = self._graph.indices, self._graph.distances
             mask = self._graph.mask
             dist = np.where(mask, dist, 0.0)
-        if self._lss.normalize_prob_dist == NormalizationScheme.UMAP:
-            m2 = mask.copy()
-            m2[:, 0] = False
-            p = smooth_knn_distributions(jnp.asarray(dist), jnp.asarray(m2))
-        else:
-            p = gaussian_row_distributions(jnp.asarray(dist),
-                                           jnp.asarray(mask),
-                                           jnp.float32(perp),
-                                           ignore_first=True)
+        p = distance_rows_to_probabilities(
+            dist, mask, self._lss.normalize_prob_dist, perplexity=perp,
+            ignore_first=True)
         n = self.hierarchy.num_components[0]
         return SparseRows(np.where(mask, idx, -1).astype(np.int32),
-                          np.asarray(p), n)
+                          np.asarray(p, np.float32), n)
 
     def _probdist_from_walks(self, level: int, k: int, perp: float
                              ) -> SparseRows:

@@ -32,6 +32,10 @@ def _mst_over_centroids(centers: np.ndarray) -> np.ndarray:
     ncc = centers.shape[0]
     d = np.sqrt(np.maximum(
         ((centers[:, None, :] - centers[None, :, :]) ** 2).sum(-1), 0))
+    # scipy sparse treats explicit zeros as absent edges: coincident
+    # centroids must still be connectable, so lift zero weights to a tiny
+    # positive value
+    d = np.where(d <= 0, 1e-12, d)
     mst = minimum_spanning_tree(sp.csr_matrix(np.triu(d, 1)))
     rows, cols = mst.nonzero()
     return np.stack([rows, cols], axis=1)
@@ -130,14 +134,20 @@ class NearestNeighbors:
                  "edges between components", len(mst))
 
         members = [np.nonzero(labels == c)[0] for c in range(ncc)]
+        # graph distances are sqrt-scaled except for L2 + l2_squared
+        # (cosine always stores chord distance, knn.py)
+        squared = (self._nns.l2_squared
+                   and self._nns.knn_metric == KnnMetric.L2)
         pairs, dists = [], []
         for ca, cb in mst:
             ia, ib, d = _closest_pair(data, members[ca], members[cb],
-                                      self._nns.l2_squared)
+                                      squared)
             pairs.append((ia, ib))
             dists.append(d)
-        graph = insert_edges_bidirectional(
-            graph, np.asarray(pairs), np.asarray(dists, dtype=np.float32))
+        if pairs:
+            graph = insert_edges_bidirectional(
+                graph, np.asarray(pairs),
+                np.asarray(dists, dtype=np.float32))
 
         self.connected_graph = graph
         self._has_connected = True

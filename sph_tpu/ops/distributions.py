@@ -71,7 +71,7 @@ def gaussian_row_distributions(values: jax.Array, mask: jax.Array,
         it, beta, lo, hi, found, _ = state
         # unnormalized kernel row
         p = jnp.where(eff_mask, jnp.exp(-beta[:, None] * vals), 0.0)
-        s = jnp.sum(p, axis=1) + jnp.float32(np.finfo(np.float64).tiny)
+        s = jnp.sum(p, axis=1) + jnp.float32(1e-38)  # f32-safe tiny
         h = jnp.sum(p * vals, axis=1) * beta / s + jnp.log(s)
         hdiff = h - log_perp
         ok = jnp.abs(hdiff) < tol
@@ -90,10 +90,15 @@ def gaussian_row_distributions(values: jax.Array, mask: jax.Array,
         new_hi = jnp.where(new_found, hi, new_hi)
         return (it + 1, new_beta, new_lo, new_hi, new_found, beta)
 
+    # empty / single-entry rows can never satisfy the entropy tolerance
+    # (their sum underflows to 0 -> NaN entropy); mark them found up front
+    # so they don't pin the whole batch at max_iter
+    init_found = row_sizes <= 1
     init = (jnp.int32(0), jnp.ones(n, jnp.float32),
             jnp.full(n, -big), jnp.full(n, big),
-            jnp.zeros(n, jnp.bool_), jnp.ones(n, jnp.float32))
+            init_found, jnp.ones(n, jnp.float32))
     _, beta, _, _, found, _ = jax.lax.while_loop(cond, body, init)
+    found = jnp.logical_and(found, row_sizes > 1)
 
     p = jnp.where(eff_mask, jnp.exp(-beta[:, None] * vals), 0.0)
     s = jnp.sum(p, axis=1)
@@ -249,6 +254,46 @@ def smooth_knn_rows_bucketed(values: np.ndarray,
                  1, wpad, False)
     out = smooth_knn_distributions(jnp.asarray(v), jnp.asarray(m))
     return np.asarray(out)[:n, :k]
+
+
+def distance_rows_to_probabilities(values: np.ndarray, mask: np.ndarray,
+                                   scheme, perplexity: float = -1.0,
+                                   ignore_first: bool = True,
+                                   umap_row_norm: bool = False
+                                   ) -> np.ndarray:
+    """The single scheme dispatcher used by every distance-rows -> prob-rows
+    site (reference: normalizeKnnDistances, GraphNormalization.hpp:36-53).
+
+    TSNE -> Gaussian-perplexity rows; LINEAR -> 1/(1+d); UMAP -> smooth-knn
+    memberships (row-normalized when umap_row_norm, e.g. when feeding the
+    random-walk sampler); any other scheme falls back to Gaussian with a
+    warning, matching the reference's default branch.
+    """
+    from ..settings import NormalizationScheme
+
+    mask = np.asarray(mask, bool)
+    if scheme == NormalizationScheme.TSNE:
+        return gaussian_rows_bucketed(values, mask, perplexity,
+                                      ignore_first=ignore_first)
+    m2 = mask.copy()
+    if ignore_first:
+        m2[:, 0] = False
+    if scheme == NormalizationScheme.LINEAR:
+        p = np.asarray(linear_row_distributions(
+            jnp.asarray(np.asarray(values, np.float32)), jnp.asarray(m2)))
+        return p
+    if scheme == NormalizationScheme.UMAP:
+        p = smooth_knn_rows_bucketed(np.asarray(values, np.float32), m2)
+        if umap_row_norm:
+            s = p.sum(axis=1, keepdims=True)
+            p = np.where(s > 0, p / np.maximum(s, 1e-12), 0.0)
+        return p.astype(np.float32)
+    from ..utils.logging import Log
+    Log.warn("distance_rows_to_probabilities: scheme %s not a probability "
+             "kernel, falling back to Gaussian (reference: "
+             "GraphNormalization.hpp default branch)", scheme)
+    return gaussian_rows_bucketed(values, mask, perplexity,
+                                  ignore_first=ignore_first)
 
 
 def normalize_knn_distances(distances: np.ndarray, scheme,

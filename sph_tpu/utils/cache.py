@@ -103,7 +103,9 @@ class StageCache:
         except OSError as e:
             Log.warn("StageCache[%s]: write failed (%s)", stage, e)
             return False
-        # writing counts as "this stage's cache is in sync" for children
-        self._loaded_ok[stage] = True
+        # a recomputed-and-written stage means its children's caches are
+        # STALE: they must refuse to load (reference: cachingSuccess is set
+        # only by loadCache, never by writeCache — Cacheable.hpp:46)
+        self._loaded_ok[stage] = False
         Log.info("StageCache[%s]: wrote %s", stage, base + "_payload.npz")
         return True

@@ -140,3 +140,35 @@ def test_pipeline_umap_normalization():
     # UMAP fuzzy-union symmetrization keeps values in [0, 1]
     assert d.max() <= 1.0 + 1e-5
     assert np.allclose(d, d.T, atol=1e-5)
+
+
+def test_cache_parent_recompute_invalidates_children(tmp_path):
+    """A recomputed parent stage must invalidate child caches (reference:
+    cacheDependencyIsValid — only loadCache marks a stage valid)."""
+    cache = CacheSettings(path=str(tmp_path), file_name="t",
+                          cache_active=True)
+    ch1 = run_pipeline(cache=cache)
+    h1 = ch1.image_hierarchy.hierarchy
+
+    # same hierarchy/level settings but different kNN settings: the kNN
+    # stage recomputes, so the hierarchy cache (built on the old graph)
+    # must NOT load
+    stack = small_image()
+    data = scale(stack.data, Scaler.STANDARD)
+    ch2 = ComputeHierarchy().init(
+        data, stack.rows, stack.cols,
+        ihs=ImageHierarchySettings(component_sim=ComponentSim.NEIGH_WALKS,
+                                   merge_multiple=False,
+                                   use_percentile=False),
+        lss=LevelSimilaritiesSettings(
+            component_sim=ComponentSim.NEIGH_WALKS, ks=[9]),
+        rws=RandomWalkSettings(num_random_walks=20, single_walk_length=6,
+                               random_seed=1),
+        nns=NearestNeighborsSettings(num_nearest_neighbors=9),  # changed
+        cache=CacheSettings(path=str(tmp_path), file_name="t",
+                            cache_active=True))
+    ch2.compute()
+    # recomputation happened: the stage cache marked 'nns' as not-loaded,
+    # so hierarchy/levels recomputed against the new 9-NN graph
+    assert ch2._cache._loaded_ok.get("nns") is False
+    assert ch2._cache._loaded_ok.get("ihs") is False
