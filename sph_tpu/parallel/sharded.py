@@ -48,21 +48,48 @@ def sharded_knn(data: np.ndarray, k: int, mesh: Optional[Mesh] = None,
     padded = np.zeros((npad, d), dtype=np.float32)
     padded[:n] = data
 
+    col_block = min(4096, npad)
+    while npad % col_block:
+        col_block //= 2
+
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis, None), P()),
         out_specs=(P(axis, None), P(axis, None)))
     def _local_knn(rows, full):
+        # stream column blocks with a running top-k so the full [shard, N]
+        # distance tile never materializes (N can be millions)
         row_sq = jnp.sum(rows * rows, axis=1)
         full_sq = jnp.sum(full * full, axis=1)
-        ip = jnp.dot(rows, full.T, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-        d2 = jnp.maximum(row_sq[:, None] + full_sq[None, :] - 2.0 * ip, 0.0)
-        # pad columns out of the running
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-        d2 = jnp.where(col_ids >= n, jnp.inf, d2)
-        neg, sel = jax.lax.top_k(-d2, k)
-        return jnp.sqrt(jnp.maximum(-neg, 0.0)), sel
+        nblk = full.shape[0] // col_block
+
+        def col_step(carry, cb):
+            top_d, top_i = carry
+            cols = jax.lax.dynamic_slice_in_dim(full, cb * col_block,
+                                                col_block)
+            csq = jax.lax.dynamic_slice_in_dim(full_sq, cb * col_block,
+                                               col_block)
+            ip = jnp.dot(rows, cols.T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            d2 = jnp.maximum(row_sq[:, None] + csq[None, :] - 2.0 * ip,
+                             0.0)
+            ids = (jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+                   + cb * col_block)
+            d2 = jnp.where(ids >= n, jnp.inf, d2)
+            md = jnp.concatenate([top_d, d2], axis=1)
+            mi = jnp.concatenate([top_i, ids], axis=1)
+            neg, sel = jax.lax.top_k(-md, k)
+            rr = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
+            return (-neg, mi[rr, sel]), None
+
+        # pvary: the carry is per-device state inside shard_map
+        init = (jax.lax.pvary(jnp.full((rows.shape[0], k), jnp.inf,
+                                       jnp.float32), axis),
+                jax.lax.pvary(jnp.full((rows.shape[0], k), -1, jnp.int32),
+                              axis))
+        (top_d, top_i), _ = jax.lax.scan(col_step, init,
+                                         jnp.arange(nblk))
+        return jnp.sqrt(jnp.maximum(top_d, 0.0)), top_i
 
     rows_sharded = shard_rows(mesh, jnp.asarray(padded), axis)
     full_repl = replicate(mesh, jnp.asarray(padded))
