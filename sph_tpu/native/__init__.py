@@ -102,6 +102,22 @@ def edge_list_components(num_nodes: int, src: np.ndarray, dst: np.ndarray
     return int(ncc), labels
 
 
+def pack_rows(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+              n: int, width: int) -> Optional[tuple]:
+    """Native ragged->padded packing of row-sorted (row, col, val) triples;
+    None -> numpy fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    out_idx = np.empty((n, width), dtype=np.int32)
+    out_val = np.empty((n, width), dtype=np.float32)
+    lib.pack_rows(len(rows), rows, cols, vals, n, width, out_idx, out_val)
+    return out_idx, out_val
+
+
 def symmetrize(indices: np.ndarray, distances: np.ndarray
                ) -> Optional[tuple]:
     """Native symmetrize; returns (out_idx, out_dist, counts) or None."""

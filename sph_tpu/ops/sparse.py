@@ -242,23 +242,31 @@ def merge_rows_by_parents(sr: SparseRows, parents: np.ndarray,
         width = max_width
     width = max(width, 1)
 
-    indices = np.full((num_merged, width), PAD, dtype=np.int32)
-    values = np.zeros((num_merged, width), dtype=np.float32)
-
-    # entries are already sorted by key == (row, col); place by within-row rank
+    # entries are already sorted by key == (row, col); place by within-row
+    # rank.  Overfull rows keep their largest values.
     starts = np.zeros(num_merged + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
     slot = np.arange(out_rows.size) - starts[out_rows]
     ok = slot < width
     if not np.all(ok):
-        # keep the largest values per overfull row
         order = np.lexsort((-sums, out_rows))
         out_rows, out_cols, sums = (out_rows[order], out_cols[order],
                                     sums[order])
         slot = np.arange(out_rows.size) - starts[out_rows]
         ok = slot < width
-    indices[out_rows[ok], slot[ok]] = out_cols[ok]
-    values[out_rows[ok], slot[ok]] = sums[ok].astype(np.float32)
+
+    from .. import native
+    packed = (native.pack_rows(out_rows[ok], out_cols[ok],
+                               sums[ok].astype(np.float32),
+                               num_merged, width)
+              if np.all(ok) else None)
+    if packed is not None:
+        indices, values = packed
+    else:
+        indices = np.full((num_merged, width), PAD, dtype=np.int32)
+        values = np.zeros((num_merged, width), dtype=np.float32)
+        indices[out_rows[ok], slot[ok]] = out_cols[ok]
+        values[out_rows[ok], slot[ok]] = sums[ok].astype(np.float32)
 
     out = _compact(indices, values, num_merged)
     if norm:
