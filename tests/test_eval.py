@@ -151,3 +151,47 @@ def test_run_evaluation_end_to_end(tmp_path):
     emb = evalio.read_embedding(os.path.join(out, "emb_tsne_0.bin"))
     assert emb.shape == (64, 2)
     assert np.all(np.isfinite(emb))
+
+
+def test_eval_pca_and_spectral_init(tmp_path):
+    """The RANDOM/PCA/SPECTRAL data-level init paths (reference:
+    RunEvaluation.cpp:415-456)."""
+    from PIL import Image
+    from sph_tpu.evaluation.settings import EvalSettings
+    import sph_tpu.evaluation.run_evaluation as re_mod
+
+    img = create_checker_image(8, 8, channels=3, block=4, noise=0.02)
+    arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(str(tmp_path / "tiny.png"))
+    spec = {
+        "inputPath": str(tmp_path), "cachePathBase": str(tmp_path / "o"),
+        "imgFormat": "RGB", "imageNames": ["tiny.png"],
+        "componentSim": ["NEIGH_WALKS"], "dataInputNorm": ["STANDARD"],
+        "dataDistNorm": ["TSNE"], "neighborConnection": ["FOUR"],
+        "nKnns": [8], "randomWalkNums": [10], "randomWalkLens": [5],
+        "randomWalkStepWeight": ["CONSTANT"],
+        "randomWalkHandling": ["MERGE_RW_ONLY"],
+        "randomWalkReduction": ["NONE"], "randomWalkWeightSize": [True],
+        "randomWalkPairSims": [True], "weightTransitionBySize": [False],
+        "initEmbeddingDataLevel": "PCA", "skipEmbeddingUMAP": True,
+        "initLevelEmbWithPrevious": True,
+    }
+    p = str(tmp_path / "g.json")
+    with open(p, "w") as f:
+        json.dump(spec, f)
+    orig = re_mod.tsne_iterations_for
+    re_mod.tsne_iterations_for = lambda n: 40
+    try:
+        for init in ("PCA", "SPECTRAL"):
+            spec["initEmbeddingDataLevel"] = init
+            spec["cachePathBase"] = str(tmp_path / f"o_{init}")
+            with open(p, "w") as f:
+                json.dump(spec, f)
+            from sph_tpu.evaluation.settings import load_eval_settings
+            dirs = run_evaluation(load_eval_settings(p), max_runs=1)
+            assert len(dirs) == 1
+            embs = [f for f in os.listdir(dirs[0])
+                    if f.startswith("emb_tsne_")]
+            assert len(embs) >= 2  # multiple levels, previous-level init
+    finally:
+        re_mod.tsne_iterations_for = orig
