@@ -269,6 +269,9 @@ class TsneComputation:
         npad = _ceil_to(n, block)
         self._block_eff = block
         self._npad = npad
+        # the Pallas kernel slices the lane dimension in block-sized steps;
+        # keep it on the 128-lane grid, else fall back to the XLA path
+        self._use_pallas_eff = bool(self._use_pallas and block % 128 == 0)
 
         if self._initial_embedding is None:
             from ..ops.math import random_disk_init
@@ -327,7 +330,7 @@ class TsneComputation:
             s.embedding, s.velocity, s.gain, jnp.int32(s.iteration),
             self._p_idx, self._p_val, jnp.int32(self._n),
             self._params_vec(), iterations, self._block_eff,
-            self._use_pallas)
+            self._use_pallas_eff)
         self._state = TsneState(y, vel, gain, int(s.iteration) + iterations)
 
     def _single_point(self):
