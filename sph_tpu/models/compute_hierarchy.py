@@ -149,6 +149,12 @@ class ComputeHierarchy:
             self.image_hierarchy.compute(self._ihs, self._rws)
             if self._cache is not None:
                 self._write_hierarchy_cache()
+        if not self._lss.ks:
+            # library use without an explicit k schedule: seed level-0 k
+            # from the data-level kNN, like the eval driver does
+            # (reference: RunEvaluation.cpp:268; LevelSimilarities asserts
+            # ks non-empty, LevelSimilarities.cpp:91)
+            self._lss.ks = [self._nns.num_nearest_neighbors]
         self.level_similarities = LevelSimilarities(
             self.image_hierarchy.hierarchy,
             self.image_hierarchy._graph, self._data, self._lss)

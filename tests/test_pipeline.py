@@ -172,3 +172,26 @@ def test_cache_parent_recompute_invalidates_children(tmp_path):
     # so hierarchy/levels recomputed against the new 9-NN graph
     assert ch2._cache._loaded_ok.get("nns") is False
     assert ch2._cache._loaded_ok.get("ihs") is False
+
+
+def test_default_settings_seed_ks():
+    """Library use without an explicit k schedule (the reference README's
+    basic-usage flow, README.md:10-29): ComputeHierarchy seeds lss.ks from
+    the data-level kNN like the eval driver does (RunEvaluation.cpp:268)."""
+    stack = small_image()
+    data = scale(stack.data, Scaler.STANDARD)
+    ch = ComputeHierarchy().init(
+        data, stack.rows, stack.cols,
+        ihs=ImageHierarchySettings(component_sim=ComponentSim.NEIGH_WALKS),
+        lss=LevelSimilaritiesSettings(
+            component_sim=ComponentSim.NEIGH_WALKS),  # ks left empty
+        rws=RandomWalkSettings(num_random_walks=10, single_walk_length=5),
+        nns=NearestNeighborsSettings(num_nearest_neighbors=13))
+    ch.compute()
+    h = ch.image_hierarchy.hierarchy
+    ks = ch.level_similarities._lss.ks
+    assert ks[0] == 13
+    assert len(ks) == h.num_levels
+    for level in range(h.num_levels):
+        pd = ch.level_similarities.get_prob_dist(level)
+        assert pd.num_rows == h.num_components[level]
