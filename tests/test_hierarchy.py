@@ -12,7 +12,8 @@ from sph_tpu.ops.graph import KnnGraph
 from sph_tpu.ops.similarities import build_union_neighborhoods, \
     neighbor_overlap_distance
 from sph_tpu.settings import (ComponentSim, ImageHierarchySettings,
-                              NeighConnection, RandomWalkSettings)
+                              NeighConnection, RandomWalkHandling,
+                              RandomWalkSettings)
 
 
 def test_pixel_neighbors_four_connected():
@@ -209,3 +210,65 @@ def test_always_merge_halves_components():
     counts = ih.hierarchy.num_components
     for i in range(len(counts) - 1):
         assert counts[i + 1] <= counts[i]
+
+
+KNN_6x4 = np.concatenate([KNN_4x4, np.array([
+    [16, 17, 18, 20], [17, 16, 19, 18], [18, 19, 16, 17], [19, 18, 17, 16],
+    [20, 21, 22, 16], [21, 20, 22, 23], [22, 23, 21, 20], [23, 22, 20, 0],
+], dtype=np.int32)])
+
+
+def test_image_hierarchy_overlap_nonsquare_golden():
+    """Non-square (6x4) image golden (reference: testNonRectImageOverlap,
+    HierarchyTest.cpp:637-787)."""
+    dist = np.zeros_like(KNN_6x4, dtype=np.float32)
+    graph = KnnGraph(KNN_6x4, dist)
+    data = np.full((24, 2), -1.0, dtype=np.float32)
+
+    ih = ImageHierarchy(graph, data, 6, 4)
+    ihs = ImageHierarchySettings(
+        component_sim=ComponentSim.NEIGH_OVERLAP,
+        neighbor_connection=NeighConnection.FOUR,
+        rw_handling=RandomWalkHandling.MERGE_RW_NEW_WALKS,
+        merge_multiple=False, use_percentile=False)
+    ih.compute(ihs, RandomWalkSettings())
+
+    h = ih.hierarchy
+    assert h.num_levels == 4
+    assert h.pixel_components[0].tolist() == list(range(24))
+    assert h.pixel_components[1].tolist() == [
+        0, 0, 0, 0, 1, 2, 2, 3, 1, 2, 2, 3, 1, 4, 4, 3,
+        5, 5, 5, 5, 6, 6, 6, 6]
+    assert h.pixel_components[2].tolist() == [
+        0, 0, 0, 0, 0, 1, 1, 1, 0, 1, 1, 1, 0, 1, 1, 1,
+        2, 2, 2, 2, 2, 2, 2, 2]
+    assert h.pixel_components[3].tolist() == [0] * 24
+
+    assert h.parents[0].tolist() == [0, 0, 0, 0, 1, 2, 2, 3, 1, 2, 2, 3,
+                                     1, 4, 4, 3, 5, 5, 5, 5, 6, 6, 6, 6]
+    assert h.parents[1].tolist() == [0, 0, 1, 1, 1, 2, 2]
+    assert h.parents[2].tolist() == [0, 0, 0]
+
+    ch1 = [c.tolist() for c in h.children_of(1)]
+    assert ch1 == [[0, 1, 2, 3], [4, 8, 12], [5, 6, 9, 10], [7, 11, 15],
+                   [13, 14], [16, 17, 18, 19], [20, 21, 22, 23]]
+    ch2 = [c.tolist() for c in h.children_of(2)]
+    assert ch2 == [[0, 1], [2, 3, 4], [5, 6]]
+    ch3 = [c.tolist() for c in h.children_of(3)]
+    assert ch3 == [[0, 1, 2]]
+
+    def spn(level, cid):
+        row = h.spatial_neighbors_of(level)[cid]
+        return sorted(row[row >= 0].tolist())
+
+    assert spn(1, 0) == [1, 2, 3]
+    assert spn(1, 1) == [0, 2, 4, 5]
+    assert spn(1, 2) == [0, 1, 3, 4]
+    assert spn(1, 3) == [0, 2, 4, 5]
+    assert spn(1, 4) == [1, 2, 3, 5]
+    assert spn(1, 5) == [1, 3, 4, 6]
+    assert spn(1, 6) == [5]
+    assert spn(2, 0) == [1, 2]
+    assert spn(2, 1) == [0, 2]
+    assert spn(2, 2) == [0, 1]
+    assert spn(3, 0) == []

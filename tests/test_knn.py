@@ -96,3 +96,23 @@ def test_compute_knn_quantized_tier():
     data = create_random_data(6, 300, seed=8)
     i, d = compute_knn(data, 6, KnnIndex.HNSWSQ)
     assert np.all(i[:, 0] == np.arange(300))
+
+
+def test_connect_components_s_curve():
+    """Sparse kNN on a noisy S-curve fragments into >1 weak components;
+    connectComponents makes it one (reference:
+    testConnectingComponentsKnnGraph, UtilsTests.cpp:662-703)."""
+    from sph_tpu.models.nearest_neighbors import NearestNeighbors
+    from sph_tpu.ops.graph import weak_connected_components
+    from sph_tpu.settings import NearestNeighborsSettings
+    from sph_tpu.utils.testdata import create_s_curve
+
+    pos, _ = create_s_curve(1000, noise=0.2, random_state=123)
+    nn = NearestNeighbors(pos.astype(np.float32),
+                          NearestNeighborsSettings(num_nearest_neighbors=3))
+    nn.compute()
+    ncc, _ = nn.compute_connected_components()
+    assert ncc > 1
+    connected = nn.connect_components()
+    new_ncc, _ = weak_connected_components(connected)
+    assert new_ncc == 1
