@@ -272,3 +272,30 @@ def test_image_hierarchy_overlap_nonsquare_golden():
     assert spn(2, 1) == [0, 2]
     assert spn(2, 2) == [0, 1]
     assert spn(3, 0) == []
+
+
+def test_hierarchy_traversal_golden():
+    """Represented-data-point traversal fixture (reference:
+    testHierarchyTraversal, HierarchyTest.cpp:38-90)."""
+    h = Hierarchy()
+    h.num_components = [12, 5, 2]
+    h.parents = [
+        np.array([0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 4]),
+        np.array([0, 0, 0, 1, 1]),
+    ]
+    h.pixel_components = [np.arange(12)]
+    for par in h.parents:
+        h.pixel_components.append(par[h.pixel_components[-1]])
+
+    ch1 = [c.tolist() for c in h.children_of(1)]
+    assert ch1 == [[0, 1], [2, 3, 4], [5, 6, 7], [8, 9], [10, 11]]
+    ch2 = [c.tolist() for c in h.children_of(2)]
+    assert ch2 == [[0, 1, 2], [3, 4]]
+
+    rep1 = [r.tolist() for r in h.represented_points(1)]
+    assert rep1[0] == [0, 1]
+    rep2 = [r.tolist() for r in h.represented_points(2)]
+    assert rep2[0] == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert rep2[1] == [8, 9, 10, 11]
+    rep0 = [r.tolist() for r in h.represented_points(0)]
+    assert rep0[5] == [5]
