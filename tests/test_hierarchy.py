@@ -299,3 +299,47 @@ def test_hierarchy_traversal_golden():
     assert rep2[1] == [8, 9, 10, 11]
     rep0 = [r.tolist() for r in h.represented_points(0)]
     assert rep0[5] == [5]
+
+
+def test_adaptive_walk_length_policies():
+    """The 7 RandomWalkReduction policies (reference:
+    ImageHierarchy.cpp:504-548): rate per policy, clamp to [min_len, len0]."""
+    from sph_tpu.settings import (RandomWalkHandling, RandomWalkReduction,
+                                  RandomWalkSettings)
+    from sph_tpu.ops.graph import KnnGraph
+
+    def next_len(policy, rate_pct, cur=10, min_len=2):
+        g = KnnGraph(np.array([[0, 1], [1, 0]], np.int32),
+                     np.array([[0.0, 1.0], [0.0, 1.0]], np.float32))
+        ih = ImageHierarchy(g, np.zeros((2, 2), np.float32), 1, 2)
+        ih._ihs = ImageHierarchySettings(
+            component_sim=ComponentSim.NEIGH_WALKS,
+            rw_handling=RandomWalkHandling.MERGE_RW_NEW_WALKS,
+            rw_reduction=policy)
+        ih._rws = RandomWalkSettings(minimum_single_walk_length=min_len)
+        ih._rw_lengths = [cur]
+        ih._adapt_walk_length(rate_pct)
+        return ih._rw_lengths[-1]
+
+    R = RandomWalkReduction
+    assert next_len(R.NONE, 30.0) == 10
+    assert next_len(R.PROPORTIONAL_COMPONENT_REDUCTION, 30.0) == 3
+    assert next_len(R.PROPORTIONAL_DOUBLE, 30.0) == 6
+    assert next_len(R.PROPORTIONAL_HALF, 30.0) == 2     # 1.5 -> clamp min 2
+    assert next_len(R.CONSTANT, 30.0) == 5
+    assert next_len(R.CONSTANT_LOW, 30.0) == 7
+    assert next_len(R.CONSTANT_HIGH, 30.0) == 2        # 2.5 -> int 2
+    # rate > 100% clamps to 1.0 (never grows past the initial length)
+    assert next_len(R.PROPORTIONAL_DOUBLE, 80.0) == 10
+    # MERGE_RW_ONLY skips adaptation entirely
+    g = KnnGraph(np.array([[0, 1], [1, 0]], np.int32),
+                 np.array([[0.0, 1.0], [0.0, 1.0]], np.float32))
+    ih = ImageHierarchy(g, np.zeros((2, 2), np.float32), 1, 2)
+    ih._ihs = ImageHierarchySettings(
+        component_sim=ComponentSim.NEIGH_WALKS,
+        rw_handling=RandomWalkHandling.MERGE_RW_ONLY,
+        rw_reduction=R.CONSTANT)
+    ih._rws = RandomWalkSettings()
+    ih._rw_lengths = [10]
+    ih._adapt_walk_length(30.0)
+    assert ih._rw_lengths == [10]
