@@ -84,3 +84,40 @@ def test_vis_hierarchy_levels(tmp_path):
     paths = plot_hierarchy_levels(h, 4, 4, str(tmp_path))
     assert len(paths) == 2
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_scaler_robust_and_none():
+    """ROBUST = clamp to global 95-percentile, divide by it (reference:
+    Scaler.cpp:32-45); NONE is identity."""
+    from sph_tpu import Scaler, scale
+    rng = np.random.default_rng(7)
+    data = rng.random((200, 4)).astype(np.float32) * 10
+    out = scale(data, Scaler.ROBUST)
+    assert out.max() <= 1.0 + 1e-6
+    assert out.min() >= 0.0
+    from sph_tpu.ops.math import compute_quantile
+    q95 = compute_quantile(data.ravel(), 0.95, interpolation=1)
+    assert np.allclose(out, np.clip(data, 0, q95) / q95, atol=1e-6)
+    assert np.array_equal(scale(data, Scaler.NONE), data)
+
+
+def test_knn_inner_product_metric():
+    """INNER_PRODUCT: ascending 'distance' = descending similarity; self is
+    its own best match for non-negative data (reference: Knn.cpp
+    knn_inner_product heaps, :56-108)."""
+    from sph_tpu.ops.knn import knn_bruteforce
+    from sph_tpu.settings import KnnMetric
+    rng = np.random.default_rng(8)
+    data = rng.random((64, 5)).astype(np.float32) + 0.1
+    idx, dist = knn_bruteforce(data, 5, metric=KnnMetric.INNER_PRODUCT)
+    ips = data @ data.T
+    for i in range(64):
+        top = np.argsort(-ips[i], kind="stable")[:5]
+        # self-first invariant: self is forced into slot 0 (displacing the
+        # last neighbor when it wasn't in the raw top-k, like the
+        # reference's ensureClosestPointIsSelf, GraphUtils.cpp:23-96)
+        assert idx[i][0] == i
+        assert set(idx[i][1:]) <= set(top)
+        # returned "distances" are negated inner products, ascending from
+        # slot 1 on
+        assert np.all(np.diff(dist[i][1:]) >= 0)
