@@ -118,6 +118,9 @@ def test_knn_inner_product_metric():
         # reference's ensureClosestPointIsSelf, GraphUtils.cpp:23-96)
         assert idx[i][0] == i
         assert set(idx[i][1:]) <= set(top)
-        # returned "distances" are negated inner products, ascending from
-        # slot 1 on
-        assert np.all(np.diff(dist[i][1:]) >= 0)
+        if top[0] == i:
+            # no swap happened: negated inner products stay ascending.
+            # (After a self swap the displaced neighbor keeps its slot out
+            # of order — the reference's std::swap does the same,
+            # GraphUtils.cpp:78-80.)
+            assert np.all(np.diff(dist[i][1:]) >= 0)
