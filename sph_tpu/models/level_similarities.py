@@ -15,6 +15,7 @@ per-level component counts the dense product outruns index construction.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -29,6 +30,14 @@ from ..ops.sparse import (SparseRows, _compact, normalize_rows,
                           pairwise_similarities, symmetrize_tsne,
                           symmetrize_umap, topk_rows)
 from .hierarchy import Hierarchy
+
+
+def _approx_knn_threshold() -> int:
+    """Component count above which the per-level kNN switches to the
+    approximate IVF tier (exact below: the blocked O(C^2) matrices are
+    faster than candidate generation at small C).  exact_knn=True in
+    LevelSimilaritiesSettings forces exact at any size."""
+    return int(os.environ.get("SPH_APPROX_KNN_THRESHOLD", "8192"))
 
 
 @dataclass
@@ -134,12 +143,41 @@ class LevelSimilarities:
         k = self._current_k(level)
         rw_handling = self.hierarchy.settings.rw_handling
 
+        c = self.hierarchy.num_components[level]
+        # approximate tier above a size threshold (reference:
+        # computeApproximateKnn, LevelSimilarities.cpp:254-334 — hnswlib
+        # HNSW when exactKnn is false; here IVF cluster pruning on proxy
+        # sketches + exact pair metrics on candidates, see
+        # ops/component_knn.py).  Below the threshold the exact blocked
+        # matrices outrun any index.
+        use_approx = (not self._lss.exact_knn
+                      and c > _approx_knn_threshold())
+
         if cs == ComponentSim.NEIGH_OVERLAP:
             unions = self._union_neighborhoods(level)
-            ids, dists = component_knn.knn_neighbor_overlap(unions, k)
+            if use_approx:
+                from ..ops.similarities import neighbor_overlap_distance
+                feats = component_knn.project_sparse_rows(unions, seed=level)
+                ids, dists = component_knn.approx_pair_metric_knn(
+                    lambda a, b: neighbor_overlap_distance(unions, a, b),
+                    feats, k, seed=level)
+            else:
+                ids, dists = component_knn.knn_neighbor_overlap(unions, k)
         elif cs == ComponentSim.EUCLID_CENTROID:
-            ids, dists = component_knn.knn_hausdorff(
-                self._data, self._rep_samples(level), k)
+            rep = self._rep_samples(level)
+            if use_approx:
+                from ..ops.similarities import hausdorff_point_set_distance
+                mask = (rep >= 0)[:, :, None]
+                pts = self._data[np.maximum(rep, 0)]
+                feats = ((np.where(mask, pts, 0.0).sum(1)
+                          / np.maximum(mask.sum(1), 1))
+                         .astype(np.float32))
+                ids, dists = component_knn.approx_pair_metric_knn(
+                    lambda a, b: hausdorff_point_set_distance(
+                        self._data, rep[a], rep[b]),
+                    feats, k, seed=level)
+            else:
+                ids, dists = component_knn.knn_hausdorff(self._data, rep, k)
         elif cs in (ComponentSim.GEO_CENTROID,):
             from ..ops.shortest_path import geodesic_hausdorff_knn
             ids, dists = geodesic_hausdorff_knn(
@@ -150,9 +188,21 @@ class LevelSimilarities:
                     ComponentSim.NEIGH_WALKS_SINGLE_OVERLAP):
             if rw_handling == RandomWalkHandling.MERGE_RW_NEW_WALKS_AND_KNN:
                 single = cs == ComponentSim.NEIGH_WALKS_SINGLE_OVERLAP
-                ids, dists = component_knn.knn_walks(
-                    self.hierarchy.random_walks[level], k,
-                    single_overlap=single)
+                walks = self.hierarchy.random_walks[level]
+                if use_approx:
+                    from ..ops.similarities import (
+                        walks_bhattacharyya_distance,
+                        walks_single_overlap_distance)
+                    pair = (walks_single_overlap_distance if single
+                            else walks_bhattacharyya_distance)
+                    feats = component_knn.project_sparse_rows(walks,
+                                                              seed=level)
+                    ids, dists = component_knn.approx_pair_metric_knn(
+                        lambda a, b: pair(walks, a, b), feats, k,
+                        seed=level)
+                else:
+                    ids, dists = component_knn.knn_walks(
+                        walks, k, single_overlap=single)
             elif self._lss.force_compute_distances:
                 self._use_walks_as_knn_distances(level)
                 return

@@ -287,3 +287,116 @@ def _finalize(ids: np.ndarray, dists: np.ndarray
     ids, dists, _ = ensure_self_first(ids.astype(np.int32),
                                       dists.astype(np.float32))
     return ids, dists
+
+
+# ---------------------------------------------------------------------------
+# Approximate tier: IVF cluster pruning in proxy sketch spaces.
+#
+# Reference: computeApproximateKnn (LevelSimilarities.cpp:254-334) builds an
+# hnswlib HNSW (M=16, efC=200) whose "points" are ComponentID structs and
+# whose distance calls the virtual component metric.  Graph-walk indexes are
+# pointer-chasing and hostile to the TPU; the TPU-native equivalent keeps the
+# approximation *in the candidate generation*: k-means cluster pruning over a
+# dense proxy sketch of each component (all matmuls), then the EXACT pair
+# metric on only the pruned candidate set.  Recall is controlled by nprobe,
+# like FAISS IVF / hnswlib efSearch.
+
+def project_sparse_rows(rows: SparseRows, dim: int = 128,
+                        seed: int = 0) -> np.ndarray:
+    """JL sketch of sqrt-valued sparse rows: feat = sqrt(S) @ R.
+
+    Bhattacharyya(a, b) = <sqrt a, sqrt b>, so euclidean geometry on the
+    sqrt-row sketches approximates BC ordering; membership overlap is the
+    same with 0/1 values."""
+    import scipy.sparse as sp
+    c, n = rows.num_rows, rows.num_cols
+    mask = rows.indices >= 0
+    indptr = np.zeros(c + 1, np.int64)
+    np.cumsum(mask.sum(1), out=indptr[1:])
+    data = np.sqrt(np.maximum(rows.values[mask], 0.0)).astype(np.float32)
+    cols = rows.indices[mask].astype(np.int64)
+    s = sp.csr_matrix((data, cols, indptr), shape=(c, n))
+    rng = np.random.default_rng(seed)
+    r = (rng.standard_normal((n, dim)) / np.sqrt(dim)).astype(np.float32)
+    return np.asarray(s @ r, dtype=np.float32)
+
+
+def ivf_candidate_table(features: np.ndarray, nlist: int | None = None,
+                        nprobe: int | None = None, seed: int = 0,
+                        kmeans_iters: int = 8) -> np.ndarray:
+    """Candidate component ids per component: [C, nprobe * Lmax] int32, -1
+    padded.  Every component's own cluster is its nearest centroid, so self
+    is always a candidate."""
+    import math as _math
+    from .knn import _kmeans
+    c, _ = features.shape
+    if nlist is None:
+        nlist = max(16, int(_math.sqrt(c)))
+    nlist = min(nlist, c)
+    if nprobe is None:
+        nprobe = max(4, int(_math.sqrt(nlist)))
+    nprobe = min(nprobe, nlist)
+
+    rng = np.random.default_rng(seed)
+    init = features[rng.choice(c, nlist, replace=False)]
+    cents, assign = _kmeans(jnp.asarray(features), jnp.asarray(init),
+                            nlist, kmeans_iters)
+    cents = np.asarray(cents)
+    assign = np.asarray(assign)
+
+    order = np.argsort(assign, kind="stable")
+    counts = np.bincount(assign, minlength=nlist)
+    lmax = int(counts.max())
+    lists = np.full((nlist, lmax), -1, dtype=np.int32)
+    starts = np.zeros(nlist + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(c) - starts[assign[order]]
+    lists[assign[order], slot] = order.astype(np.int32)
+
+    cd = (np.sum(features * features, 1)[:, None]
+          + np.sum(cents * cents, 1)[None, :] - 2.0 * features @ cents.T)
+    probes = np.argpartition(cd, min(nprobe, nlist - 1),
+                             axis=1)[:, :nprobe]
+    return lists[probes].reshape(c, -1)
+
+
+def approx_pair_metric_knn(pair_fn, features: np.ndarray, k: int,
+                           seed: int = 0,
+                           nlist: int | None = None,
+                           nprobe: int | None = None
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Approximate component kNN: IVF candidates from `features`, exact
+    distances from `pair_fn(rows_a, rows_b) -> [E] float32`, then per-row
+    bottom-k.  Self-first/ascending invariants match the exact tier."""
+    c = features.shape[0]
+    cand = ivf_candidate_table(features, nlist=nlist, nprobe=nprobe,
+                               seed=seed)
+    m = cand.shape[1]
+    rows = np.repeat(np.arange(c, dtype=np.int32), m)
+    cols = cand.ravel()
+    valid = cols >= 0
+    d = np.full(c * m, np.inf, dtype=np.float32)
+    d[valid] = pair_fn(rows[valid], cols[valid])
+    d = d.reshape(c, m)
+    # exclude self from the neighbor ranking; _finalize re-inserts it first
+    d = np.where(cand == np.arange(c)[:, None], np.inf, d)
+
+    kk = min(k, m)
+    part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+    r = np.arange(c)[:, None]
+    dk = d[r, part]
+    order = np.argsort(dk, axis=1, kind="stable")
+    ids = cand[r, part[r, order]]
+    dists = dk[r, order]
+    if kk < k:
+        ids = np.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
+        dists = np.pad(dists, ((0, 0), (0, k - kk)),
+                       constant_values=np.inf)
+    # drop unfilled (inf) candidate slots beyond the real neighbors
+    ids = np.where(np.isfinite(dists), ids, -1)
+    # self goes to slot 0 with distance 0; the last neighbor is displaced
+    ids = np.concatenate([np.arange(c, dtype=ids.dtype)[:, None],
+                          ids[:, :-1]], axis=1)
+    dists = np.concatenate([np.zeros((c, 1), np.float32),
+                            dists[:, :-1]], axis=1)
+    return _finalize(ids, dists)

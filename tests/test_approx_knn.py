@@ -1,0 +1,90 @@
+"""Approximate per-level component kNN: IVF cluster pruning on proxy
+sketches + exact pair metrics (reference: computeApproximateKnn,
+LevelSimilarities.cpp:254-334 — hnswlib HNSW over ComponentID spaces with
+exactKnn=false)."""
+
+import numpy as np
+import pytest
+
+from sph_tpu.ops import component_knn as ck
+from sph_tpu.ops.similarities import walks_bhattacharyya_distance
+from sph_tpu.ops.sparse import SparseRows
+
+
+def make_clustered_rows(c=2000, r=24, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, c, (40, r))
+    lab = rng.integers(0, 40, c)
+    idx = np.sort((base[lab] + rng.integers(0, 5, (c, r))) % c,
+                  axis=1).astype(np.int32)
+    idx2 = np.full((c, r), -1, np.int32)
+    for i in range(c):
+        u = np.unique(idx[i])
+        idx2[i, :len(u)] = u
+    val = np.where(idx2 >= 0, rng.random((c, r)).astype(np.float32), 0)
+    s = val.sum(1, keepdims=True)
+    val = np.where(idx2 >= 0, val / s, 0).astype(np.float32)
+    return SparseRows(idx2, val, c)
+
+
+def test_approx_walks_knn_recall_and_agreement():
+    walks = make_clustered_rows()
+    c, k = walks.num_rows, 16
+    ids_e, d_e = ck.knn_walks(walks, k)
+    feats = ck.project_sparse_rows(walks, seed=1)
+    ids_a, d_a = ck.approx_pair_metric_knn(
+        lambda a, b: walks_bhattacharyya_distance(walks, a, b),
+        feats, k, seed=1)
+
+    assert ids_a.shape == (c, k)
+    assert np.all(ids_a[:, 0] == np.arange(c))
+    assert np.all(d_a[:, 0] == 0)
+    recall = np.mean([
+        len(set(ids_e[i][ids_e[i] >= 0]) & set(ids_a[i][ids_a[i] >= 0]))
+        / max(1, int((ids_e[i] >= 0).sum())) for i in range(c)])
+    assert recall > 0.85
+
+    # where exact and approx agree on a neighbor, the distance is the
+    # exact metric value (the approximation is only in candidate pruning)
+    for i in (5, 100, 999):
+        common = set(ids_e[i]) & set(ids_a[i])
+        for cc in common:
+            ea = d_e[i][list(ids_e[i]).index(cc)]
+            aa = d_a[i][list(ids_a[i]).index(cc)]
+            assert abs(ea - aa) < 1e-4
+
+
+def test_approx_tier_in_pipeline(monkeypatch):
+    """Force the threshold low: the NEIGH_OVERLAP level kNN runs through the
+    approximate tier and still yields a valid symmetric probdist."""
+    monkeypatch.setenv("SPH_APPROX_KNN_THRESHOLD", "20")
+    from sph_tpu import (ComputeHierarchy, ComponentSim,
+                         ImageHierarchySettings, ImageStack,
+                         LevelSimilaritiesSettings,
+                         NearestNeighborsSettings, RandomWalkSettings,
+                         Scaler, scale)
+    from sph_tpu.utils.testdata import create_checker_image
+
+    img = create_checker_image(10, 10, channels=4, block=5, noise=0.03)
+    stack = ImageStack.from_array(img)
+    data = scale(stack.data, Scaler.STANDARD)
+    ch = ComputeHierarchy().init(
+        data, stack.rows, stack.cols,
+        ihs=ImageHierarchySettings(component_sim=ComponentSim.NEIGH_OVERLAP,
+                                   merge_multiple=False,
+                                   use_percentile=False),
+        lss=LevelSimilaritiesSettings(
+            component_sim=ComponentSim.NEIGH_OVERLAP, ks=[13]),
+        rws=RandomWalkSettings(num_random_walks=10, single_walk_length=5),
+        nns=NearestNeighborsSettings(num_nearest_neighbors=13))
+    ch.compute()
+    h = ch.image_hierarchy.hierarchy
+    approx_levels = [l for l in range(1, h.num_levels)
+                     if h.num_components[l] > 20]
+    assert approx_levels, "fixture too small to exercise the approx tier"
+    for level in range(h.num_levels):
+        pd = ch.level_similarities.get_prob_dist(level)
+        assert pd.num_rows == h.num_components[level]
+        d = pd.to_dense()
+        assert np.allclose(d, d.T, atol=1e-5)
+        assert np.all(np.isfinite(pd.values))
