@@ -98,6 +98,16 @@ def run_evaluation(settings: EvalSettings,
                 if settings.save_sub_folder else
                 os.path.join(settings.cache_path_base,
                              os.path.splitext(img_name)[0]))
+        # copy the input grid-settings file next to the hash registry
+        # (reference: RunEvaluation.cpp:324-326)
+        if settings.settings_path and os.path.isfile(settings.settings_path):
+            import shutil
+            os.makedirs(base, exist_ok=True)
+            ext = os.path.splitext(settings.settings_path)[1]
+            dst = os.path.join(base, f"{t_stamp}_settings{ext}")
+            if not os.path.exists(dst):
+                shutil.copyfile(settings.settings_path, dst)
+
         sstr = settings_string(run)
         shash = evalio.create_short_hash(sstr)
         indicator = run["component_sim"].value
