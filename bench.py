@@ -41,7 +41,35 @@ def _start_watchdog(seconds: float):
     return t
 
 
+def _preflight_device(timeout_s: float) -> bool:
+    """Probe device backend init in a subprocess: a wedged TPU tunnel hangs
+    make_c_api_client indefinitely, and once attempted in-process it cannot
+    be cancelled.  Returns True if the backend comes up in time."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True)
+        return r.returncode == 0 and r.stdout.strip() != ""
+    except Exception:
+        return False
+
+
 def main():
+    if (os.environ.get("JAX_PLATFORMS", "") != "cpu"
+            and os.environ.get("BENCH_NO_PREFLIGHT") != "1"):
+        if not _preflight_device(float(os.environ.get(
+                "BENCH_PREFLIGHT_S", "240"))):
+            # fall back to an honest CPU measurement instead of an error:
+            # re-exec with the accelerator plugin disabled
+            env = dict(os.environ)
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["BENCH_DEVICE_TAG"] = "cpu-fallback"
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(__file__)], env)
+
     watchdog = _start_watchdog(float(os.environ.get("BENCH_WATCHDOG_S",
                                                     3000)))
     import jax
@@ -168,6 +196,7 @@ def main():
             "warm_hierarchy_s": round(warm_hierarchy_s, 3),
             "warm_tsne_s": round(warm_tsne_s, 3),
             "device": str(jax.devices()[0]),
+            "device_tag": os.environ.get("BENCH_DEVICE_TAG", "primary"),
         },
     }
     watchdog.cancel()
