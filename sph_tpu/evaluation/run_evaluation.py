@@ -120,13 +120,19 @@ def run_evaluation(settings: EvalSettings,
             Log.info("Save folder not empty, skipping this setting")
             continue
 
-        # load + scale image
+        # load + scale image (missing/corrupt image skips the run, like the
+        # reference's 0-point check, RunEvaluation.cpp:234-238)
         img_path = os.path.join(settings.input_path, img_name)
-        stack = evalio.load_image(
-            img_path, "tiffstack" if settings.img_format.upper()
-            == "TIFFSTACK" else "rgb")
+        try:
+            stack = evalio.load_image(
+                img_path, "tiffstack" if settings.img_format.upper()
+                == "TIFFSTACK" else "rgb")
+        except (OSError, ValueError) as exc:
+            Log.warn("Could not load image %s (%s), skipping this one...",
+                     img_path, exc)
+            continue
         if stack.num_points == 0:
-            Log.warn("Image has 0 points, skipping")
+            Log.warn("Image has 0 points, skipping this one...")
             continue
         data = scale(stack.data, run["data_input_norm"])
 
@@ -299,7 +305,13 @@ def main(argv=None):
         print("usage: python -m sph_tpu.evaluation.run_evaluation "
               "<settings.json>")
         return 2
-    settings = load_eval_settings(argv[0])
+    try:
+        settings = load_eval_settings(argv[0])
+    except (OSError, ValueError) as exc:
+        # reference: Evaluation.cpp:22-25 — report and EXIT_FAILURE
+        print(f"Settings file at {argv[0]} not found or invalid: {exc}",
+              file=sys.stderr)
+        return 1
     run_evaluation(settings)
     return 0
 
