@@ -66,6 +66,15 @@ def bench_knn():
                 data, 91, row_block=row_block, col_block=col_block),
                 repeats=2)
             _emit("knn", dt, row_block=row_block, col_block=col_block)
+    # TPU hardware partial-reduce top-k (exact on CPU); compare best blocks
+    os.environ["SPH_KNN_APPROX_TOPK"] = "1"
+    try:
+        for col_block in (2048, 8192):
+            dt = _timeit(lambda: knn_bruteforce(
+                data, 91, row_block=256, col_block=col_block), repeats=2)
+            _emit("knn_approx_topk", dt, row_block=256, col_block=col_block)
+    finally:
+        del os.environ["SPH_KNN_APPROX_TOPK"]
 
 
 def bench_walks():

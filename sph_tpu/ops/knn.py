@@ -35,10 +35,21 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _use_approx_topk() -> bool:
+    """Opt-in TPU `lax.approx_min_k` top-k (hardware partial-reduce; falls
+    back to an exact sort on CPU).  Off by default: merge decisions
+    downstream are argmin-sensitive, so the exact streaming top-k is the
+    reference-parity path.  Enable with SPH_KNN_APPROX_TOPK=1 after
+    validating hierarchy equality on the target data."""
+    import os
+    return os.environ.get("SPH_KNN_APPROX_TOPK") == "1"
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "k", "metric", "row_block", "col_block", "l2_squared"))
+    "k", "metric", "row_block", "col_block", "l2_squared", "approx_topk"))
 def _knn_device(data: jax.Array, n_valid: jax.Array, k: int, metric: str,
-                row_block: int, col_block: int, l2_squared: bool
+                row_block: int, col_block: int, l2_squared: bool,
+                approx_topk: bool = False
                 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming blocked brute-force kNN.
 
@@ -90,10 +101,15 @@ def _knn_device(data: jax.Array, n_valid: jax.Array, k: int, metric: str,
 
             merged_d = jnp.concatenate([top_d, dist], axis=1)
             merged_i = jnp.concatenate([top_i, ids], axis=1)
-            neg_d, sel = jax.lax.top_k(-merged_d, k)
+            if approx_topk:
+                new_d, sel = jax.lax.approx_min_k(merged_d, k,
+                                                  recall_target=0.99)
+            else:
+                neg_d, sel = jax.lax.top_k(-merged_d, k)
+                new_d = -neg_d
             r = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
             new_i = merged_i[r, sel]
-            return (-neg_d, new_i), None
+            return (new_d, new_i), None
 
         init = (jnp.full((row_block, k), jnp.inf, jnp.float32),
                 jnp.full((row_block, k), -1, jnp.int32))
@@ -154,7 +170,8 @@ def knn_bruteforce(data: np.ndarray, k: int,
     padded = _pad_rows(data, npad)
 
     idx, dist = _knn_device(jnp.asarray(padded), jnp.int32(n), k,
-                            metric.value, row_block, col_block, l2_squared)
+                            metric.value, row_block, col_block, l2_squared,
+                            approx_topk=_use_approx_topk())
     idx = np.asarray(idx[:n])
     dist = np.asarray(dist[:n])
 
