@@ -171,14 +171,20 @@ def _closest_pair(data: np.ndarray, ids_a: np.ndarray, ids_b: np.ndarray,
     b = data[ids_b]
     best = (0, 0, np.inf)
     block = 4096
+    bsq = np.sum(b * b, 1)
     for i0 in range(0, len(ids_a), block):
         ab = a[i0:i0 + block]
-        d2 = (np.sum(ab * ab, 1)[:, None] + np.sum(b * b, 1)[None, :]
-              - 2.0 * ab @ b.T)
-        flat = np.argmin(d2)
-        r, c = divmod(int(flat), d2.shape[1])
-        val = float(d2[r, c])
-        if val < best[2]:
-            best = (int(ids_a[i0 + r]), int(ids_b[c]), val)
+        absq = np.sum(ab * ab, 1)
+        # block both sides: huge x huge component pairs must not
+        # materialize an |A| x |B| tile wider than block
+        for j0 in range(0, len(ids_b), block):
+            bb = b[j0:j0 + block]
+            d2 = (absq[:, None] + bsq[j0:j0 + block][None, :]
+                  - 2.0 * ab @ bb.T)
+            flat = np.argmin(d2)
+            r, c = divmod(int(flat), d2.shape[1])
+            val = float(d2[r, c])
+            if val < best[2]:
+                best = (int(ids_a[i0 + r]), int(ids_b[j0 + c]), val)
     d2 = max(best[2], 0.0)
     return best[0], best[1], float(d2 if l2_squared else np.sqrt(d2))
