@@ -202,9 +202,20 @@ class Hierarchy:
                         RandomWalkHandling.MERGE_RW_NEW_WALKS_AND_KNN):
             Log.info("Hierarchy::updateRandomWalks: merge current random "
                      "walk similarities")
+            # cap the merged row width to a memory budget: one giant merge
+            # component would otherwise force the whole padded [C, width]
+            # matrix to its union nnz (the reference's true-sparse rows pay
+            # only per-row nnz, Eigen SparseVector).  Truncation keeps the
+            # largest values — the entries the downstream prune would drop
+            # anyway.
+            import os as _os
+            budget = int(_os.environ.get("SPH_MERGE_WIDTH_BUDGET",
+                                         str(2 ** 28)))
+            cap = max(1024, budget // max(num_next, 1))
             merged = merge_rows_by_parents(
                 self.random_walks[-1], labels, num_next, norm=False,
-                weight_by_size=self.settings.rw_weight_merge_by_size)
+                weight_by_size=self.settings.rw_weight_merge_by_size,
+                max_width=cap)
 
             if (self.settings.rw_remove_self_sim_after_merging
                     and merged.num_rows > 1):

@@ -5,7 +5,8 @@ benchmark variants' agreement)."""
 import numpy as np
 import pytest
 
-from sph_tpu.ops.sparse import (SparseRows, bhattacharyya_pairs,
+from sph_tpu.ops.sparse import (SparseRows, _compact,
+                                bhattacharyya_pairs,
                                 merge_rows_by_parents,
                                 merge_rows_min_by_parents, normalize_matrix,
                                 normalize_rows, pairwise_similarities,
@@ -159,3 +160,36 @@ def test_symmetrize_umap():
     s = symmetrize_umap(sr).to_dense()
     exp = 0.6 + 0.2 - 0.6 * 0.2
     assert np.isclose(s[0, 1], exp) and np.isclose(s[1, 0], exp)
+
+
+def test_merge_width_cap_mega_component():
+    """One mega merge-component must not blow the padded width: max_width
+    keeps the largest values per row (the entries a value prune keeps)."""
+    rng = np.random.default_rng(0)
+    n, r = 5000, 16
+    idx = np.sort(rng.integers(0, n, (n, r)).astype(np.int32), axis=1)
+    # dedupe
+    dup = np.zeros_like(idx, dtype=bool)
+    dup[:, 1:] = idx[:, 1:] == idx[:, :-1]
+    idx = np.where(dup, -1, idx)
+    val = np.where(idx >= 0, rng.random((n, r)).astype(np.float32), 0)
+    sr = _compact(idx, val, n)
+
+    # everything merges into component 0 except a few
+    parents = np.zeros(n, dtype=np.int64)
+    parents[:10] = np.arange(10)
+    merged_cap = merge_rows_by_parents(sr, parents, 10, max_width=64)
+    assert merged_cap.indices.shape[1] <= 64
+    merged_full = merge_rows_by_parents(sr, parents, 10)
+    # the capped result keeps the largest-value entries of the full merge
+    full_row = {int(i): float(v) for i, v in
+                zip(merged_full.indices[0], merged_full.values[0]) if i >= 0}
+    top64 = sorted(full_row.values(), reverse=True)[:64]
+    cap_vals = sorted((float(v) for i, v in
+                       zip(merged_cap.indices[0], merged_cap.values[0])
+                       if i >= 0), reverse=True)
+    assert np.allclose(cap_vals, top64[:len(cap_vals)], rtol=1e-6)
+    # ascending-index invariant preserved
+    ci = merged_cap.indices[0]
+    ci = ci[ci >= 0]
+    assert np.all(np.diff(ci) > 0)
