@@ -231,8 +231,12 @@ class Hierarchy:
                 merged = normalize_matrix(merged)
         elif handling == RandomWalkHandling.MERGE_DATA_NEW_WALKS:
             Log.info("Hierarchy::updateRandomWalks: merge knn nodes")
+            import os as _os
+            budget = int(_os.environ.get("SPH_MERGE_WIDTH_BUDGET",
+                                         str(2 ** 28)))
             merged_graph = merge_rows_min_by_parents(
-                self.merged_data_graphs[-1], labels, num_next)
+                self.merged_data_graphs[-1], labels, num_next,
+                max_width=max(1024, budget // max(num_next, 1)))
             self.merged_data_graphs.append(merged_graph)
             # distances -> probability rows for the new walks; reference
             # uses normalizeKnnDistances on the merged graph with the

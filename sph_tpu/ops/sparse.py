@@ -275,7 +275,8 @@ def merge_rows_by_parents(sr: SparseRows, parents: np.ndarray,
 
 
 def merge_rows_min_by_parents(sr: SparseRows, parents: np.ndarray,
-                              num_merged: int) -> SparseRows:
+                              num_merged: int,
+                              max_width: Optional[int] = None) -> SparseRows:
     """Min-distance merge semantics (mergeNodesDataDistances /
     mergeGraphNodes, SparseMatrixAlgorithms.cpp:443-561): duplicate merged
     entries keep the smallest value."""
@@ -295,14 +296,27 @@ def merge_rows_min_by_parents(sr: SparseRows, parents: np.ndarray,
     out_cols = (uniq % num_merged).astype(np.int32)
     counts = np.bincount(out_rows, minlength=num_merged)
     width = max(int(counts.max()) if counts.size else 1, 1)
-    indices = np.full((num_merged, width), PAD, dtype=np.int32)
-    values = np.zeros((num_merged, width), dtype=np.float32)
     starts = np.zeros(num_merged + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
     slot = np.arange(out_rows.size) - starts[out_rows]
+    if max_width is not None and width > max_width:
+        # same mega-component guard as merge_rows_by_parents; min-distance
+        # semantics keep the SMALLEST values per row
+        Log.info("merge_rows_min_by_parents: truncating rows from width %d "
+                 "to %d (keeping smallest distances)", width, max_width)
+        width = max_width
+        order = np.lexsort((mins, out_rows))
+        out_rows, out_cols, mins = (out_rows[order], out_cols[order],
+                                    mins[order])
+        slot = np.arange(out_rows.size) - starts[out_rows]
+        keep = slot < width
+        out_rows, out_cols, mins, slot = (out_rows[keep], out_cols[keep],
+                                          mins[keep], slot[keep])
+    indices = np.full((num_merged, width), PAD, dtype=np.int32)
+    values = np.zeros((num_merged, width), dtype=np.float32)
     indices[out_rows, slot] = out_cols
     values[out_rows, slot] = mins.astype(np.float32)
-    return SparseRows(indices, values, num_merged)
+    return _compact(indices, values, num_merged)
 
 
 # ---------------------------------------------------------------------------

@@ -193,3 +193,29 @@ def test_merge_width_cap_mega_component():
     ci = merged_cap.indices[0]
     ci = ci[ci >= 0]
     assert np.all(np.diff(ci) > 0)
+
+
+def test_merge_min_width_cap():
+    rng = np.random.default_rng(1)
+    n, r = 3000, 12
+    idx = np.sort(rng.integers(0, n, (n, r)).astype(np.int32), axis=1)
+    dup = np.zeros_like(idx, dtype=bool)
+    dup[:, 1:] = idx[:, 1:] == idx[:, :-1]
+    idx = np.where(dup, -1, idx)
+    val = np.where(idx >= 0,
+                   rng.random((n, r)).astype(np.float32) + 0.01, 0)
+    sr = _compact(idx, val, n)
+    parents = np.zeros(n, dtype=np.int64)
+    parents[:5] = np.arange(5)
+    capped = merge_rows_min_by_parents(sr, parents, 5, max_width=32)
+    full = merge_rows_min_by_parents(sr, parents, 5)
+    assert capped.indices.shape[1] <= 32
+    # smallest distances kept
+    fvals = sorted(float(v) for i, v in
+                   zip(full.indices[0], full.values[0]) if i >= 0)
+    cvals = sorted(float(v) for i, v in
+                   zip(capped.indices[0], capped.values[0]) if i >= 0)
+    assert np.allclose(cvals, fvals[:len(cvals)], rtol=1e-6)
+    ci = capped.indices[0]
+    ci = ci[ci >= 0]
+    assert np.all(np.diff(ci) > 0)
