@@ -46,12 +46,22 @@ def _preflight_device(timeout_s: float) -> bool:
     make_c_api_client indefinitely, and once attempted in-process it cannot
     be cancelled.  Returns True if the backend comes up in time."""
     import subprocess
+    p = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax; print(jax.devices()[0].platform)"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
     try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, timeout=timeout_s, text=True)
-        return r.returncode == 0 and r.stdout.strip() != ""
+        out, _ = p.communicate(timeout=timeout_s)
+        return p.returncode == 0 and out.strip() != ""
+    except subprocess.TimeoutExpired:
+        # SIGTERM first: a kill -9 mid device-init has been observed to
+        # wedge the accelerator tunnel server-side
+        p.terminate()
+        try:
+            p.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            p.kill()
+        return False
     except Exception:
         return False
 
