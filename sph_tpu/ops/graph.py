@@ -19,6 +19,7 @@ C++ (GraphUtils.cpp, NearestNeighbors.cpp:411-861).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -192,7 +193,7 @@ def symmetrize_graph(graph: KnnGraph | PaddedGraph,
                                                  graph.distances, 0.0))
         if out is not None:
             oi, od, oc = out
-            return PaddedGraph(oi, od, oc)
+            return _cap_width(PaddedGraph(oi, od, oc))
     n, kmax = graph.indices.shape
     mask = graph.mask
     rows = np.broadcast_to(np.arange(n)[:, None], (n, kmax))[mask]
@@ -242,7 +243,27 @@ def symmetrize_graph(graph: KnnGraph | PaddedGraph,
     distances[er, slot] = ed
 
     counts = (deg + 1).astype(np.int32)
-    return PaddedGraph(indices, distances, counts)
+    return _cap_width(PaddedGraph(indices, distances, counts))
+
+
+def _cap_width(g: PaddedGraph) -> PaddedGraph:
+    """Bound the padded row width of a symmetrized graph.
+
+    The reference's ragged rows pay memory per node degree
+    (Graph.hpp offsets); the padded layout pays MAX degree for every row,
+    and hub nodes (one point in thousands of kNN lists) can blow that to
+    gigabytes and put the same width into every downstream kernel (walk
+    cumsums, beta search).  Rows are distance-sorted, so truncation keeps
+    each hub's closest edges.  SPH_SYM_WIDTH_CAP=0 disables."""
+    cap = int(os.environ.get("SPH_SYM_WIDTH_CAP", "1024"))
+    if cap <= 0 or g.max_k <= cap:
+        return g
+    from ..utils.logging import Log
+    Log.info("symmetrize_graph: capping row width %d -> %d (hub nodes keep "
+             "their closest edges)", g.max_k, cap)
+    return PaddedGraph(np.ascontiguousarray(g.indices[:, :cap]),
+                       np.ascontiguousarray(g.distances[:, :cap]),
+                       np.minimum(g.counts, cap).astype(np.int32))
 
 
 def weak_connected_components(graph: KnnGraph | PaddedGraph,

@@ -110,3 +110,25 @@ def test_insert_edges():
     g3 = insert_edges_bidirectional(g2, np.array([[0, 3]]),
                                     np.array([4.0], dtype=np.float32))
     assert g3.num_edges() == g2.num_edges()
+
+
+def test_symmetrize_width_cap(monkeypatch):
+    """Hub nodes must not blow the padded width: SPH_SYM_WIDTH_CAP keeps
+    each row's closest edges (rows are distance-sorted)."""
+    monkeypatch.setenv("SPH_SYM_WIDTH_CAP", "8")
+    n, k = 40, 4
+    rng = np.random.default_rng(0)
+    idx = np.empty((n, k), np.int32)
+    idx[:, 0] = np.arange(n)
+    # every node points at node 0 -> node 0 becomes a mega-hub
+    idx[:, 1] = 0
+    idx[0, 1] = 1
+    idx[:, 2:] = rng.integers(0, n, (n, k - 2))
+    dist = np.sort(rng.random((n, k)).astype(np.float32), axis=1)
+    dist[:, 0] = 0
+    for use_native in (True, False):
+        g = symmetrize_graph(KnnGraph(idx, dist), use_native=use_native)
+        assert g.max_k <= 8
+        assert g.indices[0, 0] == 0 and g.distances[0, 0] == 0
+        row_d = g.distances[0][g.indices[0] >= 0]
+        assert np.all(np.diff(row_d) >= 0)  # closest edges kept, sorted
