@@ -79,17 +79,34 @@ def _simulate(indices: jax.Array, values: jax.Array, seed: jax.Array,
     start = jnp.repeat(jnp.arange(c, dtype=jnp.int32), w)  # [C*W]
     key = jax.random.PRNGKey(seed)
 
-    def step(nodes, t):
-        u = jax.random.uniform(jax.random.fold_in(key, t), (c * w,))
-        rows_cum = cum[nodes]            # [C*W, R]
-        pos = jnp.sum(rows_cum <= u[:, None], axis=1)  # first crossing
-        in_range = pos < r
-        safe_pos = jnp.minimum(pos, r - 1)
-        cand = indices[nodes, safe_pos]
-        nxt = jnp.where(in_range & (cand >= 0), cand, nodes)
-        return nxt, nxt
+    # chunk the walker axis: the per-step [walkers, R] cumsum gather is the
+    # peak buffer (6.5M x 1024 at Salinas scale would be 26 GB); bound it to
+    # ~2^26 entries per chunk.  The uniform stream is drawn whole per step,
+    # so chunking does not change the sampled walks.
+    total = c * w
+    chunk = min(total, max(8192, (1 << 26) // max(r, 1)))
+    npadw = ((total + chunk - 1) // chunk) * chunk
+    start_p = jnp.concatenate(
+        [start, jnp.zeros(npadw - total, jnp.int32)])
 
-    _, visited = jax.lax.scan(step, start, jnp.arange(walk_length))
+    def step(nodes, t):
+        u = jax.random.uniform(jax.random.fold_in(key, t), (total,))
+        u_p = jnp.concatenate([u, jnp.zeros(npadw - total, jnp.float32)])
+
+        def sub(args):
+            nodes_c, u_c = args
+            rows_cum = cum[nodes_c]          # [chunk, R]
+            pos = jnp.sum(rows_cum <= u_c[:, None], axis=1)
+            in_range = pos < r
+            safe_pos = jnp.minimum(pos, r - 1)
+            cand = indices[nodes_c, safe_pos]
+            return jnp.where(in_range & (cand >= 0), cand, nodes_c)
+
+        nxt = jax.lax.map(sub, (nodes.reshape(-1, chunk),
+                                u_p.reshape(-1, chunk))).reshape(npadw)
+        return nxt, nxt[:total]
+
+    _, visited = jax.lax.scan(step, start_p, jnp.arange(walk_length))
     return visited  # [L, C*W]
 
 
