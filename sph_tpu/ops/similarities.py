@@ -45,22 +45,38 @@ def _lookup_pairs(indices, values, rows, cols):
     return jax.vmap(one)(ir_s, vr, cols)
 
 
+def _pair_chunks(e: int, width: int):
+    """Chunk boundaries for per-pair row gathers: bound the [E, R] gather
+    buffer to ~2^26 entries (mirrors bhattacharyya_pairs / walk chunking)."""
+    chunk = max(4096, (1 << 26) // max(width, 1))
+    return chunk
+
+
 def walks_single_overlap_distance(walks: SparseRows, pairs_a: np.ndarray,
                                   pairs_b: np.ndarray) -> np.ndarray:
     """1 - max(w[a, b], w[b, a]) (reference: simRandomWalksSingleOverlay,
     Similarities.cpp:328-351)."""
     from .bucketing import bucket_rows, pad_axis, pad_width_pow2
     e = len(pairs_a)
-    epad = bucket_rows(e)
     idx_h, val_h = pad_width_pow2(walks.indices, walks.values)
     idx = jnp.asarray(idx_h)
     val = jnp.asarray(val_h)
-    a = jnp.asarray(pad_axis(np.asarray(pairs_a, np.int32), 0, epad, 0))
-    b = jnp.asarray(pad_axis(np.asarray(pairs_b, np.int32), 0, epad, 0))
-    ab = _lookup_pairs(idx, val, a, b)
-    ba = _lookup_pairs(idx, val, b, a)
-    sim = jnp.maximum(ab, ba)
-    return np.asarray(1.0 - sim)[:e]
+    pairs_a = np.asarray(pairs_a, np.int32)
+    pairs_b = np.asarray(pairs_b, np.int32)
+    if e == 0:
+        return np.empty(0, np.float32)
+    chunk = _pair_chunks(e, idx_h.shape[1])
+    out = np.empty(e, np.float32)
+    for i0 in range(0, max(e, 1), chunk):
+        i1 = min(i0 + chunk, e)
+        w = bucket_rows(i1 - i0) if e <= chunk else chunk
+        a = jnp.asarray(pad_axis(pairs_a[i0:i1], 0, w, 0))
+        b = jnp.asarray(pad_axis(pairs_b[i0:i1], 0, w, 0))
+        ab = _lookup_pairs(idx, val, a, b)
+        ba = _lookup_pairs(idx, val, b, a)
+        sim = jnp.maximum(ab, ba)
+        out[i0:i1] = np.asarray(1.0 - sim)[:i1 - i0]
+    return out
 
 
 def walks_bhattacharyya_distance(walks: SparseRows, pairs_a: np.ndarray,
@@ -128,16 +144,23 @@ def neighbor_overlap_distance(unions: SparseRows, pairs_a: np.ndarray,
     Similarities.cpp:216-228)."""
     from .bucketing import bucket_rows, next_pow2, pad_axis
     e = len(pairs_a)
-    epad = bucket_rows(e)
     wpad = next_pow2(unions.width)
     counts = jnp.asarray(unions.row_nnz().astype(np.int32))
-    idx = pad_axis(unions.indices, 1, wpad, -1)
-    sim = _overlap_pairs(jnp.asarray(idx), counts,
-                         jnp.asarray(pad_axis(
-                             np.asarray(pairs_a, np.int32), 0, epad, 0)),
-                         jnp.asarray(pad_axis(
-                             np.asarray(pairs_b, np.int32), 0, epad, 0)))
-    return np.asarray(1.0 - sim)[:e]
+    idx = jnp.asarray(pad_axis(unions.indices, 1, wpad, -1))
+    pairs_a = np.asarray(pairs_a, np.int32)
+    pairs_b = np.asarray(pairs_b, np.int32)
+    if e == 0:
+        return np.empty(0, np.float32)
+    chunk = _pair_chunks(e, wpad)
+    out = np.empty(e, np.float32)
+    for i0 in range(0, max(e, 1), chunk):
+        i1 = min(i0 + chunk, e)
+        w = bucket_rows(i1 - i0) if e <= chunk else chunk
+        sim = _overlap_pairs(idx, counts,
+                             jnp.asarray(pad_axis(pairs_a[i0:i1], 0, w, 0)),
+                             jnp.asarray(pad_axis(pairs_b[i0:i1], 0, w, 0)))
+        out[i0:i1] = np.asarray(1.0 - sim)[:i1 - i0]
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -333,13 +333,33 @@ def bhattacharyya_pairs(sr: SparseRows, rows_a: np.ndarray,
     programs."""
     from .bucketing import bucket_rows, pad_axis, pad_width_pow2
     e = len(rows_a)
-    epad = bucket_rows(e)
     idx, val = pad_width_pow2(sr.indices, sr.values)
-    a = pad_axis(np.asarray(rows_a, np.int32), 0, epad, 0)
-    b = pad_axis(np.asarray(rows_b, np.int32), 0, epad, 0)
-    out = _bhattacharyya_pairs_device(
-        jnp.asarray(idx), jnp.asarray(val), jnp.asarray(a), jnp.asarray(b))
-    return np.asarray(out)[:e]
+    r = idx.shape[1]
+    idx_d = jnp.asarray(idx)
+    val_d = jnp.asarray(val)
+    rows_a = np.asarray(rows_a, np.int32)
+    rows_b = np.asarray(rows_b, np.int32)
+    if e == 0:
+        return np.empty(0, np.float32)
+    # chunk the pair axis: the [E, R] row gathers are the peak buffer (wide
+    # merged walk rows x hundreds of thousands of edges would be tens of GB)
+    chunk = max(4096, (1 << 26) // max(r, 1))
+    if e <= chunk:
+        epad = bucket_rows(e)
+        a = pad_axis(rows_a, 0, epad, 0)
+        b = pad_axis(rows_b, 0, epad, 0)
+        out = _bhattacharyya_pairs_device(idx_d, val_d, jnp.asarray(a),
+                                          jnp.asarray(b))
+        return np.asarray(out)[:e]
+    out = np.empty(e, np.float32)
+    for i0 in range(0, e, chunk):
+        i1 = min(i0 + chunk, e)
+        a = pad_axis(rows_a[i0:i1], 0, chunk, 0)
+        b = pad_axis(rows_b[i0:i1], 0, chunk, 0)
+        res = _bhattacharyya_pairs_device(idx_d, val_d, jnp.asarray(a),
+                                          jnp.asarray(b))
+        out[i0:i1] = np.asarray(res)[:i1 - i0]
+    return out
 
 
 @jax.jit
