@@ -222,14 +222,14 @@ def merge_rows_by_parents(sr: SparseRows, parents: np.ndarray,
     pcol = parents[col_ids]
     key = prow * num_merged + pcol
     uniq, inv = np.unique(key, return_inverse=True)
-    sums = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(sums, inv, vals)
+    # bincount, not np.add.at: the buffered ufunc scatter is ~20x slower at
+    # tens of millions of entries (measured on the Salinas-scale merge)
+    sums = np.bincount(inv, weights=vals, minlength=uniq.size)
 
     out_rows = (uniq // num_merged).astype(np.int64)
     out_cols = (uniq % num_merged).astype(np.int32)
 
-    merged_w = np.zeros(num_merged, dtype=np.float64)
-    np.add.at(merged_w, parents, row_w)
+    merged_w = np.bincount(parents, weights=row_w, minlength=num_merged)
     if weight_by_size:
         sums = sums / np.maximum(merged_w[out_rows], 1.0)
 
@@ -256,19 +256,22 @@ def merge_rows_by_parents(sr: SparseRows, parents: np.ndarray,
         ok = slot < width
 
     from .. import native
-    packed = (native.pack_rows(out_rows[ok], out_cols[ok],
-                               sums[ok].astype(np.float32),
-                               num_merged, width)
-              if np.all(ok) else None)
+    truncated = not np.all(ok)
+    packed = (None if truncated else
+              native.pack_rows(out_rows, out_cols,
+                               sums.astype(np.float32), num_merged, width))
     if packed is not None:
         indices, values = packed
+        # entries were placed in ascending-column order per row with pads
+        # at the end — already compact, skip the per-row re-sort
+        out = SparseRows(indices, values, num_merged)
     else:
         indices = np.full((num_merged, width), PAD, dtype=np.int32)
         values = np.zeros((num_merged, width), dtype=np.float32)
         indices[out_rows[ok], slot[ok]] = out_cols[ok]
         values[out_rows[ok], slot[ok]] = sums[ok].astype(np.float32)
-
-    out = _compact(indices, values, num_merged)
+        out = (_compact(indices, values, num_merged) if truncated
+               else SparseRows(indices, values, num_merged))
     if norm:
         out = normalize_rows(out)
     return out
@@ -288,9 +291,16 @@ def merge_rows_min_by_parents(sr: SparseRows, parents: np.ndarray,
     vals = sr.values[mask].astype(np.float64)
 
     key = parents[row_ids] * num_merged + parents[col_ids]
-    uniq, inv = np.unique(key, return_inverse=True)
-    mins = np.full(uniq.size, np.inf)
-    np.minimum.at(mins, inv, vals)
+    order = np.argsort(key, kind="stable")
+    ks, vs = key[order], vals[order]
+    first = np.ones(ks.size, dtype=bool)
+    first[1:] = ks[1:] != ks[:-1]
+    starts = np.nonzero(first)[0]
+    uniq = ks[starts]
+    # segmented min via reduceat instead of np.minimum.at (buffered ufunc
+    # scatter is ~20x slower at scale)
+    mins = (np.minimum.reduceat(vs, starts) if starts.size
+            else np.empty(0, np.float64))
 
     out_rows = (uniq // num_merged).astype(np.int64)
     out_cols = (uniq % num_merged).astype(np.int32)
