@@ -22,6 +22,7 @@ exaggeration schedule follow HDILib's TsneParameters defaults (minimum_gain
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -258,6 +259,20 @@ class TsneComputation:
 
     def _init_gradient_descent(self):
         self._ensure_p()
+        # bound the padded P width: one hub row (a component linked by
+        # thousands of neighbors after symmetrization) otherwise sets the
+        # per-iteration attractive-force gather width for EVERY row.  Keep
+        # the largest-probability entries; the dropped tail is negligible
+        # attractive mass (the reference's Barnes-Hut approximates far more
+        # aggressively).  SPH_TSNE_P_WIDTH_CAP=0 disables.
+        cap = int(os.environ.get("SPH_TSNE_P_WIDTH_CAP", "1024"))
+        if cap > 0 and self._p.width > cap:
+            from ..ops.sparse import topk_rows
+            before = self._p.row_sums().sum()
+            self._p = topk_rows(self._p, cap)
+            kept = self._p.row_sums().sum() / max(before, 1e-12)
+            Log.info("t-SNE: P width capped to %d (%.4f%% of mass kept)",
+                     cap, 100.0 * kept)
         n = self._n
         exag = default_exaggeration(n)
         self.params.exaggeration_factor = exag
