@@ -173,16 +173,27 @@ def tsne_iterations(y, vel, gain, it0, p_idx, p_val, n_valid,
 
 @functools.partial(jax.jit, static_argnames=("block",))
 def tsne_kl_divergence(y, p_idx, p_val, n_valid, block: int):
-    """KL(P || Q) over P's support: sum p log(p / q), q = w / Z."""
+    """KL(P || Q) over P's off-diagonal support: sum p log(p / q), q = w/Z.
+
+    Self pairs are excluded and P renormalized over the remaining support:
+    Q assigns no mass to i == j (Z sums i != j), so diagonal P mass — which
+    the walks-as-distances path can carry when a merged walk row's self
+    similarity is not its largest entry (same position-0-skip quirk as the
+    reference's HDILibHelper beta search) — would otherwise make the
+    quantity ill-defined (it exerts zero force on the embedding either
+    way, diff_ii = 0)."""
     _, z = _repulsive_forces(y, n_valid, block)
     yj = y[jnp.maximum(p_idx, 0)]
     diff = y[:, None, :] - yj
     d2 = jnp.sum(diff * diff, axis=-1)
     w = 1.0 / (1.0 + d2)
-    valid = (p_idx >= 0) & (p_val > 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, p_idx.shape, 0)
+    valid = (p_idx >= 0) & (p_val > 0) & (p_idx != rows)
+    p_mass = jnp.sum(jnp.where(valid, p_val, 0.0))
+    pn = p_val / jnp.maximum(p_mass, 1e-12)
     q = jnp.maximum(w / jnp.maximum(z, 1e-12), 1e-38)
-    p = jnp.maximum(p_val, 1e-38)
-    kl = jnp.where(valid, p_val * (jnp.log(p) - jnp.log(q)), 0.0)
+    p = jnp.maximum(pn, 1e-38)
+    kl = jnp.where(valid, pn * (jnp.log(p) - jnp.log(q)), 0.0)
     return jnp.sum(kl)
 
 

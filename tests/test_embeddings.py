@@ -129,3 +129,24 @@ def test_compute_embedding_facade():
     assert ce.last_kl is not None and np.isfinite(ce.last_kl)
     emb2 = ce.compute_umap(p)
     assert emb2.shape == (120, 2)
+
+
+def test_kl_nonnegative_with_diagonal_p_mass():
+    """KL must stay a proper (non-negative) divergence even when P carries
+    diagonal mass (walks-as-distances levels where a merged row's self
+    similarity is not its largest entry)."""
+    import numpy as np
+    from sph_tpu.models.tsne import TsneComputation, TsneParameters
+    from sph_tpu.ops.sparse import SparseRows
+    rng = np.random.default_rng(0)
+    n = 8
+    d = rng.random((n, n)).astype(np.float32)
+    d = (d + d.T) / 2
+    np.fill_diagonal(d, 3.0)   # heavy diagonal mass
+    d /= d.sum()
+    p = SparseRows.from_dense(d)
+    t = TsneComputation(TsneParameters(num_iterations=200),
+                        use_pallas=False)
+    t.set_probability_distribution(p)
+    t.compute(verbose=False)
+    assert t.kl_divergence() >= 0.0
