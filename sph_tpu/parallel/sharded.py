@@ -282,3 +282,117 @@ def multi_scene_tsne(p_indices: np.ndarray, p_values: np.ndarray,
     pv_s = shard_rows(mesh, jnp.asarray(pv), axis)
     out = jax.jit(batched)(y, vel, gain, pi_s, pv_s)
     return np.asarray(out)[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# sharded UMAP (edge-parallel epochs)
+# ---------------------------------------------------------------------------
+
+def make_sharded_umap_epoch(mesh: Mesh, axis: str = "data",
+                            neg_rate: int = 5):
+    """One UMAP optimization epoch with the edge list sharded over the mesh.
+
+    y is replicated [N, 2]; each chip evaluates its edge shard and the
+    per-phase position deltas are `psum`med — the data-parallel form of
+    models/umap._epoch_update (same two-phase semantics: attraction applied,
+    then negative rounds read the updated positions).  Negative-sample
+    streams fold in the device index, so they differ from the single-chip
+    stream (documented deviation — the reference's umappp is sequential).
+    """
+
+    def epoch(y, src, dst, eps, nxt, epoch_i, alpha, a, b, key, n_valid):
+        active = nxt <= epoch_i
+
+        ys = y[src]
+        yd = y[dst]
+        diff = ys - yd
+        d2 = jnp.sum(diff * diff, axis=1)
+        gc = jnp.where(d2 > 0,
+                       (-2.0 * a * b * d2 ** (b - 1.0))
+                       / (a * d2 ** b + 1.0), 0.0)
+        delta = jnp.clip(gc[:, None] * diff, -4.0, 4.0)
+        delta = jnp.where(active[:, None], delta, 0.0)
+        dense = (jnp.zeros_like(y).at[src].add(alpha * delta)
+                 .at[dst].add(-alpha * delta))
+        y = y + jax.lax.psum(dense, axis)
+
+        dev = jax.lax.axis_index(axis)
+        for r in range(neg_rate):
+            k = jax.random.fold_in(jax.random.fold_in(key, r), dev)
+            negs = jax.random.randint(k, src.shape, 0, n_valid)
+            ysn = y[src]
+            yn = y[negs]
+            diff_n = ysn - yn
+            d2n = jnp.sum(diff_n * diff_n, axis=1)
+            gcn = (2.0 * b) / ((0.001 + d2n) * (a * d2n ** b + 1.0))
+            delta_n = jnp.where(gcn[:, None] > 0,
+                                jnp.clip(gcn[:, None] * diff_n, -4.0, 4.0),
+                                4.0)
+            hit_self = negs == src
+            delta_n = jnp.where((active & ~hit_self)[:, None], delta_n, 0.0)
+            dense_n = jnp.zeros_like(y).at[src].add(alpha * delta_n)
+            y = y + jax.lax.psum(dense_n, axis)
+
+        nxt = jnp.where(active, nxt + eps, nxt)
+        return y, nxt
+
+    sharded = shard_map(
+        epoch, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
+                  P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(axis)))
+    return jax.jit(sharded)
+
+
+def sharded_umap(p_indices: np.ndarray, p_values: np.ndarray,
+                 num_epochs: int = 0, mesh: Optional[Mesh] = None,
+                 axis: str = "data", seed: int = 0,
+                 params=None) -> np.ndarray:
+    """Full multi-chip UMAP on symmetric membership rows [N, R] (fuzzy
+    union applied upstream, like models/umap set_neighbor_matrix)."""
+    from ..models.umap import UmapComputation, UmapParameters
+    from ..ops.sparse import SparseRows
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    uc = UmapComputation(params or UmapParameters())
+    if num_epochs:
+        uc.params.num_epochs = num_epochs
+    uc.params.seed = seed
+    # skip the double fuzzy-union: rows are already symmetric memberships
+    uc._p = SparseRows(np.asarray(p_indices, np.int32),
+                       np.asarray(p_values, np.float32), p_indices.shape[0])
+    uc._n = p_indices.shape[0]
+    uc._memberships = lambda: uc._p  # type: ignore[assignment]
+    uc.init_optimization()
+
+    e = int(uc._src.shape[0])
+    epad = ((e + n_dev - 1) // n_dev) * n_dev
+    pad = epad - e
+    src = np.pad(np.asarray(uc._src), (0, pad))
+    dst = np.pad(np.asarray(uc._dst), (0, pad))
+    eps = np.pad(np.asarray(uc._eps), (0, pad))
+    nxt = np.pad(np.asarray(uc._next_sample), (0, pad),
+                 constant_values=np.inf)  # pad edges never activate
+
+    def shard_edges(x):
+        return jax.device_put(
+            jnp.asarray(x),
+            jax.sharding.NamedSharding(mesh, P(axis)))
+
+    y = replicate(mesh, jnp.asarray(uc._embedding))
+    src_s, dst_s, eps_s, nxt_s = map(shard_edges, (src, dst, eps, nxt))
+
+    step = make_sharded_umap_epoch(mesh, axis,
+                                   uc.params.negative_sample_rate)
+    key = jax.random.PRNGKey(seed)
+    for epoch in range(uc._n_epochs):
+        alpha = uc.params.initial_alpha * (1.0 - epoch / uc._n_epochs)
+        y, nxt_s = step(y, src_s, dst_s, eps_s, nxt_s,
+                        jnp.float32(epoch), jnp.float32(alpha),
+                        jnp.float32(uc._a), jnp.float32(uc._b),
+                        jax.random.fold_in(key, epoch),
+                        jnp.int32(uc._n))
+    return np.asarray(y)

@@ -110,3 +110,36 @@ def test_multi_scene_tsne():
     assert np.all(np.isfinite(embs))
     # different seeds per scene -> different layouts
     assert not np.allclose(embs[0], embs[1])
+
+
+def test_sharded_umap_finite_and_clustered():
+    """Edge-sharded UMAP epochs over the virtual mesh: finite output and
+    neighbors end up closer than non-neighbors on a two-blob membership."""
+    import jax
+    import numpy as np
+    from sph_tpu.ops.knn import knn_bruteforce
+    from sph_tpu.ops.distributions import smooth_knn_distributions
+    from sph_tpu.ops.sparse import SparseRows, symmetrize_umap
+    from sph_tpu.parallel.mesh import make_mesh
+    from sph_tpu.parallel.sharded import sharded_umap
+    from sph_tpu.utils.testdata import create_3d_gaussians
+
+    pos, lab = create_3d_gaussians(
+        128, random_state=0, centers=np.array([[0, 0, 0], [8, 8, 8]]))
+    idx, dist = knn_bruteforce(pos.astype(np.float32), 8)
+    import jax.numpy as jnp
+    mask = np.ones_like(idx, bool)
+    mask[:, 0] = False
+    sims = np.asarray(smooth_knn_distributions(jnp.asarray(dist),
+                                               jnp.asarray(mask)))
+    rows = symmetrize_umap(SparseRows(
+        np.where(mask, idx, -1).astype(np.int32), sims, len(pos)))
+
+    mesh = make_mesh()
+    emb = sharded_umap(rows.indices, rows.values, num_epochs=60, mesh=mesh)
+    assert emb.shape == (128, 2)
+    assert np.all(np.isfinite(emb))
+    c0 = emb[lab == 0].mean(0)
+    c1 = emb[lab == 1].mean(0)
+    spread0 = np.linalg.norm(emb[lab == 0] - c0, axis=1).mean()
+    assert np.linalg.norm(c0 - c1) > spread0
