@@ -115,6 +115,30 @@ def main():
                           "error": "device numerics check failed"}))
         return
 
+    # Pallas-kernel probe: the fused repulsion kernel auto-enables on TPU;
+    # verify it against the XLA path on real hardware first and fall back
+    # if it errors or disagrees (it has CI coverage in interpret mode only
+    # until a healthy chip is attached).
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("SPH_TSNE_USE_PALLAS", "auto") == "auto"):
+        try:
+            from sph_tpu.models.tsne import _repulsive_forces
+            from sph_tpu.ops.pallas.tsne_kernels import tsne_repulsion
+            yprobe = jnp.asarray(
+                np.random.default_rng(0).standard_normal(
+                    (256, 2)).astype(np.float32))
+            rp, zp = tsne_repulsion(yprobe, jnp.int32(200), 128, 128)
+            rx, zx = _repulsive_forces(yprobe, jnp.int32(200), 128)
+            ok = (np.allclose(np.asarray(rp), np.asarray(rx),
+                              rtol=1e-3, atol=1e-4)
+                  and abs(float(zp) - float(zx)) < 1e-2 * max(float(zx), 1))
+            if not ok:
+                raise ValueError("pallas/XLA repulsion mismatch")
+        except Exception as exc:  # noqa: BLE001 — any failure => XLA path
+            print(f"# pallas probe failed ({exc}); using XLA t-SNE path",
+                  file=sys.stderr)
+            os.environ["SPH_TSNE_USE_PALLAS"] = "0"
+
     # env overrides for debugging off-TPU; the driver runs the defaults
     rows = int(os.environ.get("BENCH_ROWS", 145))
     cols = int(os.environ.get("BENCH_COLS", 145))

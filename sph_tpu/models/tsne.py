@@ -207,7 +207,16 @@ class TsneComputation:
         self.params = params or TsneParameters()
         self._block = block
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            # SPH_TSNE_USE_PALLAS: "1"/"0" force, anything else = auto
+            # (TPU -> Pallas kernel).  bench.py probes the kernel on real
+            # hardware first and sets "0" if it misbehaves.
+            env = os.environ.get("SPH_TSNE_USE_PALLAS", "auto")
+            if env == "0":
+                use_pallas = False
+            elif env == "1":
+                use_pallas = True
+            else:
+                use_pallas = jax.default_backend() == "tpu"
         self._use_pallas = use_pallas
         self._p: Optional[SparseRows] = None
         self._knn = None
