@@ -70,6 +70,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.symmetrize_fill.restype = None
     lib.symmetrize_fill.argtypes = [i64, i64, p_i32, p_f32, i64, p_i32,
                                     p_f32, p_i32]
+    lib.argsort_i64.restype = None
+    lib.argsort_i64.argtypes = [p_i64, i64, p_i64]
     lib.pack_rows.restype = None
     lib.pack_rows.argtypes = [i64, p_i64, p_i32, p_f32, i64, i64, p_i32,
                               p_f32]
@@ -100,6 +102,18 @@ def edge_list_components(num_nodes: int, src: np.ndarray, dst: np.ndarray
     labels = np.empty(num_nodes, dtype=np.int64)
     ncc = lib.edge_list_components(num_nodes, len(src), src, dst, labels)
     return int(ncc), labels
+
+
+def argsort_i64(keys: np.ndarray) -> Optional[np.ndarray]:
+    """Native LSD-radix argsort of non-negative int64 keys (stable);
+    None -> numpy fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    order = np.empty(len(keys), dtype=np.int64)
+    lib.argsort_i64(keys, len(keys), order)
+    return order
 
 
 def pack_rows(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,

@@ -212,4 +212,63 @@ void pack_rows(int64_t m, const int64_t* rows, const int32_t* cols,
     }
 }
 
+// ---------------------------------------------------------------------
+// LSD radix argsort of non-negative int64 keys (the global sort inside
+// the sparse merges; replaces numpy's introsort at ~3-4x throughput).
+// 11-bit digits; passes above the key range are skipped.
+// ---------------------------------------------------------------------
+
+void argsort_i64(const int64_t* keys, int64_t n, int64_t* out_order) {
+    if (n <= 0) return;
+    int64_t maxk = 0;
+    for (int64_t i = 0; i < n; ++i)
+        if (keys[i] > maxk) maxk = keys[i];
+    int idx_bits = 1;
+    while ((int64_t(1) << idx_bits) < n) ++idx_bits;
+    // composite = key << idx_bits | index -- sorting composites sorts by
+    // (key, index), i.e. a stable argsort, with fully sequential radix
+    // passes (no random gathers).  Fall back to std::sort if it overflows.
+    bool fits = (maxk <= (std::numeric_limits<int64_t>::max() >> idx_bits));
+    std::vector<uint64_t> a(static_cast<size_t>(n));
+    if (fits) {
+        const uint64_t idx_mask = (uint64_t(1) << idx_bits) - 1;
+        for (int64_t i = 0; i < n; ++i)
+            a[i] = (static_cast<uint64_t>(keys[i]) << idx_bits)
+                   | static_cast<uint64_t>(i);
+        uint64_t maxc = (static_cast<uint64_t>(maxk) << idx_bits) | idx_mask;
+        const int bits = 11;
+        const int64_t radix = int64_t(1) << bits;
+        const uint64_t mask = radix - 1;
+        std::vector<uint64_t> tmp(static_cast<size_t>(n));
+        std::vector<int64_t> count(static_cast<size_t>(radix));
+        uint64_t* src = a.data();
+        uint64_t* dst = tmp.data();
+        for (int shift = 0; (maxc >> shift) != 0; shift += bits) {
+            std::fill(count.begin(), count.end(), 0);
+            for (int64_t i = 0; i < n; ++i)
+                ++count[(src[i] >> shift) & mask];
+            int64_t sum = 0;
+            for (int64_t d = 0; d < radix; ++d) {
+                int64_t c = count[d];
+                count[d] = sum;
+                sum += c;
+            }
+            for (int64_t i = 0; i < n; ++i)
+                dst[count[(src[i] >> shift) & mask]++] = src[i];
+            std::swap(src, dst);
+        }
+        for (int64_t i = 0; i < n; ++i)
+            out_order[i] = static_cast<int64_t>(src[i] & idx_mask);
+    } else {
+        for (int64_t i = 0; i < n; ++i)
+            a[i] = static_cast<uint64_t>(i);
+        std::stable_sort(a.begin(), a.end(),
+                         [keys](uint64_t x, uint64_t y) {
+                             return keys[x] < keys[y];
+                         });
+        for (int64_t i = 0; i < n; ++i)
+            out_order[i] = static_cast<int64_t>(a[i]);
+    }
+}
+
 }  // extern "C"

@@ -212,24 +212,37 @@ def merge_rows_by_parents(sr: SparseRows, parents: np.ndarray,
     row_ids = np.broadcast_to(np.arange(sr.num_rows)[:, None],
                               sr.indices.shape)[mask]
     col_ids = sr.indices[mask].astype(np.int64)
-    vals = sr.values[mask].astype(np.float64)
+    # f32 accumulation like the reference's Eigen SparseVector<float>
+    vals = sr.values[mask]
 
-    row_w = sr.row_nnz().astype(np.float64) if weight_by_size else (
-        np.ones(sr.num_rows))
+    row_w = sr.row_nnz().astype(np.float32) if weight_by_size else (
+        np.ones(sr.num_rows, np.float32))
     vals = vals * row_w[row_ids]
 
     prow = parents[row_ids]
     pcol = parents[col_ids]
     key = prow * num_merged + pcol
-    uniq, inv = np.unique(key, return_inverse=True)
-    # bincount, not np.add.at: the buffered ufunc scatter is ~20x slower at
-    # tens of millions of entries (measured on the Salinas-scale merge)
-    sums = np.bincount(inv, weights=vals, minlength=uniq.size)
+    from .. import native
+    order = native.argsort_i64(key)
+    if order is None:
+        order = np.argsort(key, kind="stable")
+    ks = key[order]
+    vs = vals[order]
+    first = np.ones(ks.size, dtype=bool)
+    if ks.size:
+        first[1:] = ks[1:] != ks[:-1]
+    starts = np.nonzero(first)[0]
+    uniq = ks[starts]
+    # contiguous segmented sum (reduceat), not np.add.at: the buffered
+    # ufunc scatter is ~20x slower at tens of millions of entries
+    sums = (np.add.reduceat(vs, starts) if starts.size
+            else np.empty(0, np.float32))
 
     out_rows = (uniq // num_merged).astype(np.int64)
     out_cols = (uniq % num_merged).astype(np.int32)
 
-    merged_w = np.bincount(parents, weights=row_w, minlength=num_merged)
+    merged_w = np.bincount(parents, weights=row_w,
+                           minlength=num_merged).astype(np.float32)
     if weight_by_size:
         sums = sums / np.maximum(merged_w[out_rows], 1.0)
 
@@ -288,10 +301,13 @@ def merge_rows_min_by_parents(sr: SparseRows, parents: np.ndarray,
     row_ids = np.broadcast_to(np.arange(sr.num_rows)[:, None],
                               sr.indices.shape)[mask]
     col_ids = sr.indices[mask].astype(np.int64)
-    vals = sr.values[mask].astype(np.float64)
+    vals = sr.values[mask]
 
     key = parents[row_ids] * num_merged + parents[col_ids]
-    order = np.argsort(key, kind="stable")
+    from .. import native
+    order = native.argsort_i64(key)
+    if order is None:
+        order = np.argsort(key, kind="stable")
     ks, vs = key[order], vals[order]
     first = np.ones(ks.size, dtype=bool)
     first[1:] = ks[1:] != ks[:-1]
@@ -300,7 +316,7 @@ def merge_rows_min_by_parents(sr: SparseRows, parents: np.ndarray,
     # segmented min via reduceat instead of np.minimum.at (buffered ufunc
     # scatter is ~20x slower at scale)
     mins = (np.minimum.reduceat(vs, starts) if starts.size
-            else np.empty(0, np.float64))
+            else np.empty(0, np.float32))
 
     out_rows = (uniq // num_merged).astype(np.int64)
     out_cols = (uniq % num_merged).astype(np.int32)
