@@ -132,9 +132,11 @@ def pack_rows(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     return out_idx, out_val
 
 
-def symmetrize(indices: np.ndarray, distances: np.ndarray
-               ) -> Optional[tuple]:
-    """Native symmetrize; returns (out_idx, out_dist, counts) or None."""
+def symmetrize(indices: np.ndarray, distances: np.ndarray,
+               max_width: int = 0) -> Optional[tuple]:
+    """Native symmetrize; returns (out_idx, out_dist, counts) or None.
+    max_width > 0 caps the output row width at the source (hub rows keep
+    their closest edges), avoiding a huge padded allocation."""
     lib = get_lib()
     if lib is None:
         return None
@@ -144,6 +146,8 @@ def symmetrize(indices: np.ndarray, distances: np.ndarray
     degrees = np.empty(n, dtype=np.int64)
     max_deg = lib.symmetrize_degrees(n, k, idx, dist, degrees)
     width = int(max_deg) + 1
+    if max_width > 0:
+        width = min(width, max_width)
     out_idx = np.empty((n, width), dtype=np.int32)
     out_dist = np.empty((n, width), dtype=np.float32)
     counts = np.empty(n, dtype=np.int32)

@@ -100,6 +100,11 @@ int64_t edge_list_components(int64_t n, int64_t m, const int64_t* src,
 
 struct Edge { int64_t a, b; float d; };
 
+static std::vector<Edge>& cached_edges() {
+    static std::vector<Edge> edges;
+    return edges;
+}
+
 static void collect_canonical_edges(int64_t n, int64_t k,
                                     const int32_t* indices,
                                     const float* distances,
@@ -138,7 +143,10 @@ static void collect_canonical_edges(int64_t n, int64_t k,
 // excluding self).
 int64_t symmetrize_degrees(int64_t n, int64_t k, const int32_t* indices,
                            const float* distances, int64_t* degrees) {
-    std::vector<Edge> edges;
+    // Phase 1 caches the sorted, deduped edge list for the immediately
+    // following symmetrize_fill call (the wrapper always pairs them);
+    // avoids collecting + sorting the edges twice.
+    std::vector<Edge>& edges = cached_edges();
     collect_canonical_edges(n, k, indices, distances, edges);
     std::memset(degrees, 0, sizeof(int64_t) * n);
     for (const Edge& e : edges) {
@@ -150,40 +158,49 @@ int64_t symmetrize_degrees(int64_t n, int64_t k, const int32_t* indices,
     return mx;
 }
 
-// Phase 2: fills out_idx/out_dist of shape [n, width] (width >= max_deg+1)
-// with self first, neighbors ascending by distance, pads at -1/+inf.
+// Phase 2: fills out_idx/out_dist of shape [n, width] (width >= max_deg+1
+// or the caller's cap) with self first, neighbors ascending by distance,
+// pads at -1/+inf.
 void symmetrize_fill(int64_t n, int64_t k, const int32_t* indices,
                      const float* distances, int64_t width,
                      int32_t* out_idx, float* out_dist,
                      int32_t* out_counts) {
-    std::vector<Edge> edges;
-    collect_canonical_edges(n, k, indices, distances, edges);
+    std::vector<Edge>& edges = cached_edges();
+    if (edges.empty())
+        collect_canonical_edges(n, k, indices, distances, edges);
+
+    // flat counting-sort layout by row (no per-row vectors)
+    std::vector<int64_t> deg(static_cast<size_t>(n), 0);
+    for (const Edge& e : edges) { deg[e.a]++; deg[e.b]++; }
+    std::vector<int64_t> off(static_cast<size_t>(n) + 1, 0);
+    for (int64_t i = 0; i < n; ++i) off[i + 1] = off[i] + deg[i];
+    struct DC { float d; int32_t c; };
+    std::vector<DC> flat(static_cast<size_t>(off[n]));
+    std::vector<int64_t> cur(off.begin(), off.end() - 1);
+    for (const Edge& e : edges) {
+        flat[cur[e.a]++] = {e.d, static_cast<int32_t>(e.b)};
+        flat[cur[e.b]++] = {e.d, static_cast<int32_t>(e.a)};
+    }
+    edges.clear();
+    edges.shrink_to_fit();
 
     const float inf = std::numeric_limits<float>::infinity();
     for (int64_t i = 0; i < n; ++i) {
         int32_t* oi = out_idx + i * width;
         float* od = out_dist + i * width;
-        for (int64_t j = 0; j < width; ++j) { oi[j] = -1; od[j] = inf; }
+        DC* lo = flat.data() + off[i];
+        DC* hi = flat.data() + off[i + 1];
+        std::sort(lo, hi, [](const DC& x, const DC& y) {
+            return x.d < y.d || (x.d == y.d && x.c < y.c);
+        });
         oi[0] = static_cast<int32_t>(i);
         od[0] = 0.0f;
-        out_counts[i] = 1;
-    }
-    // bucket per row
-    std::vector<std::vector<std::pair<float, int64_t>>> rows(n);
-    for (const Edge& e : edges) {
-        rows[e.a].push_back({e.d, e.b});
-        rows[e.b].push_back({e.d, e.a});
-    }
-    for (int64_t i = 0; i < n; ++i) {
-        auto& r = rows[i];
-        std::sort(r.begin(), r.end());
-        int64_t c = std::min<int64_t>(r.size(), width - 1);
-        int32_t* oi = out_idx + i * width;
-        float* od = out_dist + i * width;
+        int64_t c = std::min<int64_t>(hi - lo, width - 1);
         for (int64_t j = 0; j < c; ++j) {
-            oi[1 + j] = static_cast<int32_t>(r[j].second);
-            od[1 + j] = r[j].first;
+            oi[1 + j] = lo[j].c;
+            od[1 + j] = lo[j].d;
         }
+        for (int64_t j = 1 + c; j < width; ++j) { oi[j] = -1; od[j] = inf; }
         out_counts[i] = static_cast<int32_t>(1 + c);
     }
 }

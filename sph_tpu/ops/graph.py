@@ -189,8 +189,10 @@ def symmetrize_graph(graph: KnnGraph | PaddedGraph,
     if use_native:
         from .. import native
         idx_in = np.where(graph.mask, graph.indices, -1).astype(np.int32)
+        cap = int(os.environ.get("SPH_SYM_WIDTH_CAP", "1024"))
         out = native.symmetrize(idx_in, np.where(graph.mask,
-                                                 graph.distances, 0.0))
+                                                 graph.distances, 0.0),
+                                max_width=max(cap, 0))
         if out is not None:
             oi, od, oc = out
             return _cap_width(PaddedGraph(oi, od, oc))

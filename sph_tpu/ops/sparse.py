@@ -168,6 +168,10 @@ def _compact(indices: np.ndarray, values: np.ndarray, num_cols: int
              ) -> SparseRows:
     """Push pads to the row ends, keep ascending index order."""
     key = np.where(indices < 0, np.iinfo(np.int32).max, indices)
+    if key.shape[1] <= 1 or bool(np.all(key[:, 1:] >= key[:, :-1])):
+        # already compact (ascending with pads at the end): one compare
+        # pass instead of a [N, R] argsort + two gathers
+        return SparseRows(indices, values, num_cols)
     order = np.argsort(key, axis=1, kind="stable")
     r = np.arange(indices.shape[0])[:, None]
     return SparseRows(indices[r, order], values[r, order], num_cols)
