@@ -105,6 +105,11 @@ static std::vector<Edge>& cached_edges() {
     return edges;
 }
 
+// fingerprint of the graph the cache was built from (guards against a
+// fill call ever consuming edges from a different degrees call)
+static int64_t& cached_n() { static int64_t v = -1; return v; }
+static int64_t& cached_k() { static int64_t v = -1; return v; }
+
 static void collect_canonical_edges(int64_t n, int64_t k,
                                     const int32_t* indices,
                                     const float* distances,
@@ -148,6 +153,8 @@ int64_t symmetrize_degrees(int64_t n, int64_t k, const int32_t* indices,
     // avoids collecting + sorting the edges twice.
     std::vector<Edge>& edges = cached_edges();
     collect_canonical_edges(n, k, indices, distances, edges);
+    cached_n() = n;
+    cached_k() = k;
     std::memset(degrees, 0, sizeof(int64_t) * n);
     for (const Edge& e : edges) {
         degrees[e.a]++;
@@ -166,8 +173,10 @@ void symmetrize_fill(int64_t n, int64_t k, const int32_t* indices,
                      int32_t* out_idx, float* out_dist,
                      int32_t* out_counts) {
     std::vector<Edge>& edges = cached_edges();
-    if (edges.empty())
+    if (edges.empty() || cached_n() != n || cached_k() != k)
         collect_canonical_edges(n, k, indices, distances, edges);
+    cached_n() = -1;
+    cached_k() = -1;
 
     // flat counting-sort layout by row (no per-row vectors)
     std::vector<int64_t> deg(static_cast<size_t>(n), 0);
