@@ -72,6 +72,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                     p_f32, p_i32]
     lib.argsort_i64.restype = None
     lib.argsort_i64.argtypes = [p_i64, i64, p_i64]
+    lib.merge_sum.restype = i64
+    lib.merge_sum.argtypes = [i64, i64, p_i32, p_f32, p_i64, i64,
+                              ctypes.c_int, p_i64, p_i32, p_f32]
     lib.pack_rows.restype = None
     lib.pack_rows.argtypes = [i64, p_i64, p_i32, p_f32, i64, i64, p_i32,
                               p_f32]
@@ -102,6 +105,30 @@ def edge_list_components(num_nodes: int, src: np.ndarray, dst: np.ndarray
     labels = np.empty(num_nodes, dtype=np.int64)
     ncc = lib.edge_list_components(num_nodes, len(src), src, dst, labels)
     return int(ncc), labels
+
+
+def merge_sum(indices: np.ndarray, values: np.ndarray,
+              parents: np.ndarray, num_merged: int,
+              weight_by_size: bool) -> Optional[tuple]:
+    """Native sparse merge accumulation: returns (rows i64, cols i32,
+    sums f32) sorted by (row, col), or None for the numpy fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, r = indices.shape
+    idx = np.ascontiguousarray(indices, dtype=np.int32)
+    val = np.ascontiguousarray(values, dtype=np.float32)
+    par = np.ascontiguousarray(parents, dtype=np.int64)
+    cap = n * r
+    out_rows = np.empty(cap, dtype=np.int64)
+    out_cols = np.empty(cap, dtype=np.int32)
+    out_vals = np.empty(cap, dtype=np.float32)
+    m = lib.merge_sum(n, r, idx, val, par, num_merged,
+                      1 if weight_by_size else 0,
+                      out_rows, out_cols, out_vals)
+    if m < 0:
+        return None
+    return out_rows[:m], out_cols[:m], out_vals[:m]
 
 
 def argsort_i64(keys: np.ndarray) -> Optional[np.ndarray]:

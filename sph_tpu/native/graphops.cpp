@@ -297,4 +297,117 @@ void argsort_i64(const int64_t* keys, int64_t n, int64_t* out_order) {
     }
 }
 
+// ---------------------------------------------------------------------
+// Full sparse merge accumulation (the hot host op of the hierarchy):
+// extract non-pad entries, key = parent_row * num_merged + parent_col,
+// stable LSD radix on (key, weighted value) pairs, segment-sum in key
+// order (bit-identical to numpy reduceat over the same stable order),
+// divide by merged weights.  Returns the number of unique (row, col)
+// entries written to out_*, or -1 when the key range would overflow
+// (caller falls back to the numpy path).
+// ---------------------------------------------------------------------
+
+int64_t merge_sum(int64_t n, int64_t r, const int32_t* idx,
+                  const float* val, const int64_t* parents,
+                  int64_t num_merged, int weight_by_size,
+                  int64_t* out_rows, int32_t* out_cols, float* out_vals) {
+    if (num_merged <= 0) return 0;
+    if (num_merged > (int64_t(1) << 31)) return -1;
+    // overflow guard: key < num_merged^2 must fit int64
+    long double maxkey = (long double)num_merged * num_merged;
+    if (maxkey >= 9.2e18L) return -1;
+
+    struct KV { uint64_t k; float v; };
+    std::vector<KV> kv;
+    kv.reserve(static_cast<size_t>(n) * r / 2);
+
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t* row = idx + i * r;
+        const float* vrow = val + i * r;
+        float w = 1.0f;
+        if (weight_by_size) {
+            int64_t nnz = 0;
+            for (int64_t j = 0; j < r; ++j)
+                if (row[j] >= 0 && vrow[j] != 0.0f) ++nnz;
+            w = static_cast<float>(nnz);
+        }
+        const uint64_t prow = static_cast<uint64_t>(parents[i])
+                              * static_cast<uint64_t>(num_merged);
+        for (int64_t j = 0; j < r; ++j) {
+            if (row[j] < 0 || vrow[j] == 0.0f) continue;
+            KV e;
+            e.k = prow + static_cast<uint64_t>(parents[row[j]]);
+            e.v = vrow[j] * w;
+            kv.push_back(e);
+        }
+    }
+    const int64_t m = static_cast<int64_t>(kv.size());
+    if (m == 0) return 0;
+
+    // stable LSD radix on k (11-bit digits)
+    uint64_t maxk = 0;
+    for (const KV& e : kv) maxk = std::max(maxk, e.k);
+    {
+        const int bits = 11;
+        const int64_t radix = int64_t(1) << bits;
+        const uint64_t mask = radix - 1;
+        std::vector<KV> tmp(kv.size());
+        std::vector<int64_t> count(static_cast<size_t>(radix));
+        KV* src = kv.data();
+        KV* dst = tmp.data();
+        for (int shift = 0; (maxk >> shift) != 0; shift += bits) {
+            std::fill(count.begin(), count.end(), 0);
+            for (int64_t i = 0; i < m; ++i)
+                ++count[(src[i].k >> shift) & mask];
+            int64_t sum = 0;
+            for (int64_t d = 0; d < radix; ++d) {
+                int64_t c = count[d];
+                count[d] = sum;
+                sum += c;
+            }
+            for (int64_t i = 0; i < m; ++i)
+                dst[count[(src[i].k >> shift) & mask]++] = src[i];
+            std::swap(src, dst);
+        }
+        if (src != kv.data())
+            std::memcpy(kv.data(), src, sizeof(KV) * m);
+    }
+
+    // merged weights per parent
+    std::vector<float> merged_w;
+    if (weight_by_size) {
+        merged_w.assign(static_cast<size_t>(num_merged), 0.0f);
+        for (int64_t i = 0; i < n; ++i) {
+            const int32_t* row = idx + i * r;
+            const float* vrow = val + i * r;
+            int64_t nnz = 0;
+            for (int64_t j = 0; j < r; ++j)
+                if (row[j] >= 0 && vrow[j] != 0.0f) ++nnz;
+            merged_w[parents[i]] += static_cast<float>(nnz);
+        }
+    }
+
+    // segment sums in stable key order (matches np.add.reduceat f32 order)
+    int64_t out = 0;
+    int64_t i = 0;
+    while (i < m) {
+        const uint64_t k = kv[i].k;
+        float s = 0.0f;
+        while (i < m && kv[i].k == k) { s += kv[i].v; ++i; }
+        const int64_t prow = static_cast<int64_t>(
+            k / static_cast<uint64_t>(num_merged));
+        const int64_t pcol = static_cast<int64_t>(
+            k % static_cast<uint64_t>(num_merged));
+        if (weight_by_size) {
+            float mw = merged_w[prow];
+            s /= (mw > 1.0f ? mw : 1.0f);
+        }
+        out_rows[out] = prow;
+        out_cols[out] = static_cast<int32_t>(pcol);
+        out_vals[out] = s;
+        ++out;
+    }
+    return out;
+}
+
 }  // extern "C"

@@ -212,43 +212,48 @@ def merge_rows_by_parents(sr: SparseRows, parents: np.ndarray,
     parents = np.asarray(parents, dtype=np.int64)
     assert parents.shape[0] == sr.num_rows
 
-    mask = sr.mask & (sr.values != 0)
-    row_ids = np.broadcast_to(np.arange(sr.num_rows)[:, None],
-                              sr.indices.shape)[mask]
-    col_ids = sr.indices[mask].astype(np.int64)
-    # f32 accumulation like the reference's Eigen SparseVector<float>
-    vals = sr.values[mask]
-
-    row_w = sr.row_nnz().astype(np.float32) if weight_by_size else (
-        np.ones(sr.num_rows, np.float32))
-    vals = vals * row_w[row_ids]
-
-    prow = parents[row_ids]
-    pcol = parents[col_ids]
-    key = prow * num_merged + pcol
     from .. import native
-    order = native.argsort_i64(key)
-    if order is None:
+    merged = native.merge_sum(sr.indices, sr.values, parents, num_merged,
+                              weight_by_size)
+    if merged is not None:
+        # single-pass C++: extract + key + stable radix + segment sums
+        # (bit-identical f32 accumulation order to the numpy path below)
+        out_rows, out_cols, sums = merged
+    else:
+        mask = sr.mask & (sr.values != 0)
+        row_ids = np.broadcast_to(np.arange(sr.num_rows)[:, None],
+                                  sr.indices.shape)[mask]
+        col_ids = sr.indices[mask].astype(np.int64)
+        # f32 accumulation like the reference's Eigen SparseVector<float>
+        vals = sr.values[mask]
+
+        row_w = sr.row_nnz().astype(np.float32) if weight_by_size else (
+            np.ones(sr.num_rows, np.float32))
+        vals = vals * row_w[row_ids]
+
+        prow = parents[row_ids]
+        pcol = parents[col_ids]
+        key = prow * num_merged + pcol
         order = np.argsort(key, kind="stable")
-    ks = key[order]
-    vs = vals[order]
-    first = np.ones(ks.size, dtype=bool)
-    if ks.size:
-        first[1:] = ks[1:] != ks[:-1]
-    starts = np.nonzero(first)[0]
-    uniq = ks[starts]
-    # contiguous segmented sum (reduceat), not np.add.at: the buffered
-    # ufunc scatter is ~20x slower at tens of millions of entries
-    sums = (np.add.reduceat(vs, starts) if starts.size
-            else np.empty(0, np.float32))
+        ks = key[order]
+        vs = vals[order]
+        first = np.ones(ks.size, dtype=bool)
+        if ks.size:
+            first[1:] = ks[1:] != ks[:-1]
+        starts = np.nonzero(first)[0]
+        uniq = ks[starts]
+        # contiguous segmented sum (reduceat), not np.add.at: the buffered
+        # ufunc scatter is ~20x slower at tens of millions of entries
+        sums = (np.add.reduceat(vs, starts) if starts.size
+                else np.empty(0, np.float32))
 
-    out_rows = (uniq // num_merged).astype(np.int64)
-    out_cols = (uniq % num_merged).astype(np.int32)
+        out_rows = (uniq // num_merged).astype(np.int64)
+        out_cols = (uniq % num_merged).astype(np.int32)
 
-    merged_w = np.bincount(parents, weights=row_w,
-                           minlength=num_merged).astype(np.float32)
-    if weight_by_size:
-        sums = sums / np.maximum(merged_w[out_rows], 1.0)
+        merged_w = np.bincount(parents, weights=row_w,
+                               minlength=num_merged).astype(np.float32)
+        if weight_by_size:
+            sums = sums / np.maximum(merged_w[out_rows], 1.0)
 
     # build fixed-width rows
     counts = np.bincount(out_rows, minlength=num_merged)

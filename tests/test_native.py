@@ -75,3 +75,46 @@ def test_symmetrize_min_dedup_native():
     i0, d0 = g.row(0)
     assert i0.tolist() == [0, 1, 2]
     assert np.allclose(d0, [0, 1, 5])
+
+
+def test_native_merge_sum_matches_numpy():
+    """The single-pass C++ merge must agree with the numpy path: identical
+    entry layout, values equal up to f32 summation order (numpy reduceat is
+    pairwise; C++ is sequential — same class of reordering as the
+    reference's OpenMP accumulation)."""
+    import os
+    import numpy as np
+    import sph_tpu.native as nat
+    from sph_tpu.ops.sparse import SparseRows, _compact, \
+        merge_rows_by_parents
+
+    if nat.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(3)
+    n, r = 3000, 24
+    idx = np.sort(rng.integers(0, n, (n, r)).astype(np.int32), axis=1)
+    dup = np.zeros_like(idx, bool)
+    dup[:, 1:] = idx[:, 1:] == idx[:, :-1]
+    idx = np.where(dup, -1, idx)
+    val = np.where(idx >= 0, rng.random((n, r)).astype(np.float32), 0)
+    sr = _compact(idx, val, n)
+    parents = rng.integers(0, 700, n)
+
+    for wbs in (True, False):
+        out_nat = merge_rows_by_parents(sr, parents, 700,
+                                        weight_by_size=wbs)
+        os.environ["SPH_TPU_NO_NATIVE"] = "1"
+        nat._lib = None
+        nat._tried = False
+        try:
+            out_np = merge_rows_by_parents(sr, parents, 700,
+                                           weight_by_size=wbs)
+        finally:
+            del os.environ["SPH_TPU_NO_NATIVE"]
+            nat._lib = None
+            nat._tried = False
+        assert np.array_equal(out_nat.indices, out_np.indices)
+        assert np.allclose(out_nat.values, out_np.values,
+                           rtol=1e-5, atol=1e-7)
