@@ -140,9 +140,26 @@ def bench_tsne():
         _emit(f"tsne2000_{name}", dt, n=n)
 
 
+def bench_merge():
+    from sph_tpu.ops.sparse import SparseRows, _compact, \
+        merge_rows_by_parents
+    rng = np.random.default_rng(4)
+    n, r = _s(21025), 500
+    idx = np.sort(rng.integers(0, n, (n, r)).astype(np.int32), axis=1)
+    dup = np.zeros_like(idx, bool)
+    dup[:, 1:] = idx[:, 1:] == idx[:, :-1]
+    idx = np.where(dup, -1, idx)
+    val = np.where(idx >= 0, rng.random((n, r)).astype(np.float32), 0)
+    sr = _compact(idx, val, n)
+    parents = rng.integers(0, max(n // 4, 1), n)
+    dt = _timeit(lambda: merge_rows_by_parents(sr, parents,
+                                               max(n // 4, 1)), repeats=3)
+    _emit("merge_host", dt, n=n, width=r)
+
+
 def main():
     import jax
-    which = set(sys.argv[1:]) or {"knn", "walks", "pairs", "tsne"}
+    which = set(sys.argv[1:]) or {"knn", "walks", "pairs", "tsne", "merge"}
     print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
     if "knn" in which:
         bench_knn()
@@ -152,6 +169,8 @@ def main():
         bench_pairs()
     if "tsne" in which:
         bench_tsne()
+    if "merge" in which:
+        bench_merge()
 
 
 if __name__ == "__main__":
