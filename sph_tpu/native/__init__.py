@@ -75,6 +75,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.merge_sum.restype = i64
     lib.merge_sum.argtypes = [i64, i64, p_i32, p_f32, p_i64, i64,
                               ctypes.c_int, p_i64, p_i32, p_f32]
+    lib.merge_min.restype = i64
+    lib.merge_min.argtypes = [i64, i64, p_i32, p_f32, p_i64, i64,
+                              p_i64, p_i32, p_f32]
     lib.pack_rows.restype = None
     lib.pack_rows.argtypes = [i64, p_i64, p_i32, p_f32, i64, i64, p_i32,
                               p_f32]
@@ -125,6 +128,27 @@ def merge_sum(indices: np.ndarray, values: np.ndarray,
     out_vals = np.empty(cap, dtype=np.float32)
     m = lib.merge_sum(n, r, idx, val, par, num_merged,
                       1 if weight_by_size else 0,
+                      out_rows, out_cols, out_vals)
+    if m < 0:
+        return None
+    return out_rows[:m], out_cols[:m], out_vals[:m]
+
+
+def merge_min(indices: np.ndarray, values: np.ndarray,
+              parents: np.ndarray, num_merged: int) -> Optional[tuple]:
+    """Native min-merge accumulation; see merge_sum."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, r = indices.shape
+    idx = np.ascontiguousarray(indices, dtype=np.int32)
+    val = np.ascontiguousarray(values, dtype=np.float32)
+    par = np.ascontiguousarray(parents, dtype=np.int64)
+    cap = n * r
+    out_rows = np.empty(cap, dtype=np.int64)
+    out_cols = np.empty(cap, dtype=np.int32)
+    out_vals = np.empty(cap, dtype=np.float32)
+    m = lib.merge_min(n, r, idx, val, par, num_merged,
                       out_rows, out_cols, out_vals)
     if m < 0:
         return None

@@ -410,4 +410,78 @@ int64_t merge_sum(int64_t n, int64_t r, const int32_t* idx,
     return out;
 }
 
+// Min-distance variant of merge_sum (mergeNodesDataDistances semantics:
+// duplicate merged entries keep the smallest value).
+int64_t merge_min(int64_t n, int64_t r, const int32_t* idx,
+                  const float* val, const int64_t* parents,
+                  int64_t num_merged,
+                  int64_t* out_rows, int32_t* out_cols, float* out_vals) {
+    if (num_merged <= 0) return 0;
+    if (num_merged > (int64_t(1) << 31)) return -1;
+    long double maxkey = (long double)num_merged * num_merged;
+    if (maxkey >= 9.2e18L) return -1;
+
+    struct KV { uint64_t k; float v; };
+    std::vector<KV> kv;
+    kv.reserve(static_cast<size_t>(n) * r / 2);
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t* row = idx + i * r;
+        const float* vrow = val + i * r;
+        const uint64_t prow = static_cast<uint64_t>(parents[i])
+                              * static_cast<uint64_t>(num_merged);
+        for (int64_t j = 0; j < r; ++j) {
+            if (row[j] < 0 || vrow[j] == 0.0f) continue;
+            kv.push_back({prow + static_cast<uint64_t>(parents[row[j]]),
+                          vrow[j]});
+        }
+    }
+    const int64_t m = static_cast<int64_t>(kv.size());
+    if (m == 0) return 0;
+    uint64_t maxk = 0;
+    for (const KV& e : kv) maxk = std::max(maxk, e.k);
+    {
+        const int bits = 11;
+        const int64_t radix = int64_t(1) << bits;
+        const uint64_t mask = radix - 1;
+        std::vector<KV> tmp(kv.size());
+        std::vector<int64_t> count(static_cast<size_t>(radix));
+        KV* src = kv.data();
+        KV* dst = tmp.data();
+        for (int shift = 0; (maxk >> shift) != 0; shift += bits) {
+            std::fill(count.begin(), count.end(), 0);
+            for (int64_t i = 0; i < m; ++i)
+                ++count[(src[i].k >> shift) & mask];
+            int64_t sum = 0;
+            for (int64_t d = 0; d < radix; ++d) {
+                int64_t c = count[d];
+                count[d] = sum;
+                sum += c;
+            }
+            for (int64_t i = 0; i < m; ++i)
+                dst[count[(src[i].k >> shift) & mask]++] = src[i];
+            std::swap(src, dst);
+        }
+        if (src != kv.data())
+            std::memcpy(kv.data(), src, sizeof(KV) * m);
+    }
+    int64_t out = 0;
+    int64_t i = 0;
+    while (i < m) {
+        const uint64_t k = kv[i].k;
+        float mn = kv[i].v;
+        ++i;
+        while (i < m && kv[i].k == k) {
+            mn = std::min(mn, kv[i].v);
+            ++i;
+        }
+        out_rows[out] = static_cast<int64_t>(
+            k / static_cast<uint64_t>(num_merged));
+        out_cols[out] = static_cast<int32_t>(
+            k % static_cast<uint64_t>(num_merged));
+        out_vals[out] = mn;
+        ++out;
+    }
+    return out;
+}
+
 }  // extern "C"

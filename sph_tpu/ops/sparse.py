@@ -306,29 +306,31 @@ def merge_rows_min_by_parents(sr: SparseRows, parents: np.ndarray,
     mergeGraphNodes, SparseMatrixAlgorithms.cpp:443-561): duplicate merged
     entries keep the smallest value."""
     parents = np.asarray(parents, dtype=np.int64)
-    mask = sr.mask & (sr.values != 0)
-    row_ids = np.broadcast_to(np.arange(sr.num_rows)[:, None],
-                              sr.indices.shape)[mask]
-    col_ids = sr.indices[mask].astype(np.int64)
-    vals = sr.values[mask]
-
-    key = parents[row_ids] * num_merged + parents[col_ids]
     from .. import native
-    order = native.argsort_i64(key)
-    if order is None:
-        order = np.argsort(key, kind="stable")
-    ks, vs = key[order], vals[order]
-    first = np.ones(ks.size, dtype=bool)
-    first[1:] = ks[1:] != ks[:-1]
-    starts = np.nonzero(first)[0]
-    uniq = ks[starts]
-    # segmented min via reduceat instead of np.minimum.at (buffered ufunc
-    # scatter is ~20x slower at scale)
-    mins = (np.minimum.reduceat(vs, starts) if starts.size
-            else np.empty(0, np.float32))
+    merged = native.merge_min(sr.indices, sr.values, parents, num_merged)
+    if merged is not None:
+        out_rows, out_cols, mins = merged
+    else:
+        mask = sr.mask & (sr.values != 0)
+        row_ids = np.broadcast_to(np.arange(sr.num_rows)[:, None],
+                                  sr.indices.shape)[mask]
+        col_ids = sr.indices[mask].astype(np.int64)
+        vals = sr.values[mask]
 
-    out_rows = (uniq // num_merged).astype(np.int64)
-    out_cols = (uniq % num_merged).astype(np.int32)
+        key = parents[row_ids] * num_merged + parents[col_ids]
+        order = np.argsort(key, kind="stable")
+        ks, vs = key[order], vals[order]
+        first = np.ones(ks.size, dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        starts = np.nonzero(first)[0]
+        uniq = ks[starts]
+        # segmented min via reduceat instead of np.minimum.at (buffered
+        # ufunc scatter is ~20x slower at scale)
+        mins = (np.minimum.reduceat(vs, starts) if starts.size
+                else np.empty(0, np.float32))
+
+        out_rows = (uniq // num_merged).astype(np.int64)
+        out_cols = (uniq % num_merged).astype(np.int32)
     counts = np.bincount(out_rows, minlength=num_merged)
     width = max(int(counts.max()) if counts.size else 1, 1)
     starts = np.zeros(num_merged + 1, dtype=np.int64)
