@@ -162,6 +162,8 @@ def argsort_i64(keys: np.ndarray) -> Optional[np.ndarray]:
     if lib is None:
         return None
     keys = np.ascontiguousarray(keys, dtype=np.int64)
+    if keys.size and int(keys.min()) < 0:
+        return None  # radix assumes non-negative keys
     order = np.empty(len(keys), dtype=np.int64)
     lib.argsort_i64(keys, len(keys), order)
     return order

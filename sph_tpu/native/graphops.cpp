@@ -316,6 +316,8 @@ int64_t merge_sum(int64_t n, int64_t r, const int32_t* idx,
     // overflow guard: key < num_merged^2 must fit int64
     long double maxkey = (long double)num_merged * num_merged;
     if (maxkey >= 9.2e18L) return -1;
+    for (int64_t i = 0; i < n; ++i)
+        if (parents[i] < 0 || parents[i] >= num_merged) return -1;
 
     struct KV { uint64_t k; float v; };
     std::vector<KV> kv;
@@ -420,6 +422,8 @@ int64_t merge_min(int64_t n, int64_t r, const int32_t* idx,
     if (num_merged > (int64_t(1) << 31)) return -1;
     long double maxkey = (long double)num_merged * num_merged;
     if (maxkey >= 9.2e18L) return -1;
+    for (int64_t i = 0; i < n; ++i)
+        if (parents[i] < 0 || parents[i] >= num_merged) return -1;
 
     struct KV { uint64_t k; float v; };
     std::vector<KV> kv;
