@@ -306,10 +306,6 @@ class LevelSimilarities:
     def _probdist_from_walks(self, level: int, k: int, perp: float
                              ) -> SparseRows:
         """Reference: useRandomWalks (:460-508)."""
-        import jax.numpy as jnp
-        from ..ops.distributions import (gaussian_row_distributions,
-                                         smooth_knn_distributions)
-
         walks = self.hierarchy.random_walks[level]
         if self._lss.random_walk_pair_sims:
             Log.info("LevelSimilarities: pairwise random-walk distances "
@@ -344,8 +340,6 @@ class LevelSimilarities:
                            ) -> SparseRows:
         """Reference: useKnnDistances (:510-515) — Gaussian rows over the
         per-level distance graph, ignore index 0 (self)."""
-        import jax.numpy as jnp
-        from ..ops.distributions import gaussian_row_distributions
         if self.distance_graphs[level] is None:
             raise RuntimeError(
                 f"level {level}: no distance graph computed for "
