@@ -337,6 +337,7 @@ int64_t merge_sum(int64_t n, int64_t r, const int32_t* idx,
                               * static_cast<uint64_t>(num_merged);
         for (int64_t j = 0; j < r; ++j) {
             if (row[j] < 0 || vrow[j] == 0.0f) continue;
+            if (row[j] >= n) return -1;  // column outside parents domain
             KV e;
             e.k = prow + static_cast<uint64_t>(parents[row[j]]);
             e.v = vrow[j] * w;
@@ -435,6 +436,7 @@ int64_t merge_min(int64_t n, int64_t r, const int32_t* idx,
                               * static_cast<uint64_t>(num_merged);
         for (int64_t j = 0; j < r; ++j) {
             if (row[j] < 0 || vrow[j] == 0.0f) continue;
+            if (row[j] >= n) return -1;  // column outside parents domain
             kv.push_back({prow + static_cast<uint64_t>(parents[row[j]]),
                           vrow[j]});
         }
