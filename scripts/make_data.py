@@ -2,7 +2,7 @@
 repo ships no data either; comparison/README.md defers to an external repo).
 
 Creates:
-  data/indian_pines_corrected_normed.tiff   145x145x200 TIFF stack
+  data/pines_synth.tiff                     145x145x200 TIFF stack
   data/salinas_synth.tiff                   512x217x224 TIFF stack
   data/bus.jpg / bike.jpg / umbrellas.jpg   RGB scenes
 
@@ -39,7 +39,7 @@ def write_rgb(path: str, rows: int, cols: int, seed: int):
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "data"
     os.makedirs(out, exist_ok=True)
-    write_stack(os.path.join(out, "indian_pines_corrected_normed.tiff"),
+    write_stack(os.path.join(out, "pines_synth.tiff"),
                 create_hyperspectral_scene(145, 145, 200, seed=7))
     write_stack(os.path.join(out, "salinas_synth.tiff"),
                 create_hyperspectral_scene(512, 217, 224, seed=13))

@@ -109,7 +109,10 @@ def _epoch_update(y, src, dst, eps, next_sample, epoch, alpha, a, b, key,
         diff_n = ysn - yn
         d2n = jnp.sum(diff_n * diff_n, axis=1)
         gcn = (2.0 * b) / ((0.001 + d2n) * (a * d2n ** b + 1.0))
-        delta_n = jnp.where(gcn[:, None] > 0,
+        # coincident negative pairs (d2n == 0) get the constant +4 push per
+        # dimension, matching umap-learn's else-branch (gcn is always > 0
+        # here, so branching on it would leave that arm dead)
+        delta_n = jnp.where((d2n > 0)[:, None],
                             jnp.clip(gcn[:, None] * diff_n, -4.0, 4.0), 4.0)
         hit_self = negs == src
         delta_n = jnp.where((active & ~hit_self)[:, None], delta_n, 0.0)

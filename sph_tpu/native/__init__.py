@@ -95,6 +95,8 @@ def weak_components(indices: np.ndarray) -> Optional[tuple]:
     idx = np.ascontiguousarray(indices, dtype=np.int32)
     labels = np.empty(n, dtype=np.int64)
     ncc = lib.weak_components(n, k, idx, labels)
+    if ncc < 0:  # out-of-domain neighbor id: use the scipy fallback
+        return None
     return int(ncc), labels
 
 
@@ -107,6 +109,8 @@ def edge_list_components(num_nodes: int, src: np.ndarray, dst: np.ndarray
     dst = np.ascontiguousarray(dst, dtype=np.int64)
     labels = np.empty(num_nodes, dtype=np.int64)
     ncc = lib.edge_list_components(num_nodes, len(src), src, dst, labels)
+    if ncc < 0:  # out-of-domain endpoint: use the scipy fallback
+        return None
     return int(ncc), labels
 
 
@@ -198,6 +202,8 @@ def symmetrize(indices: np.ndarray, distances: np.ndarray,
     dist = np.ascontiguousarray(distances, dtype=np.float32)
     degrees = np.empty(n, dtype=np.int64)
     max_deg = lib.symmetrize_degrees(n, k, idx, dist, degrees)
+    if max_deg < 0:  # out-of-domain neighbor id: use the numpy fallback
+        return None
     width = int(max_deg) + 1
     if max_width > 0:
         width = min(width, max_width)

@@ -45,6 +45,7 @@ int64_t weak_components(int64_t n, int64_t k, const int32_t* indices,
         for (int64_t j = 0; j < k; ++j) {
             int32_t t = row[j];
             if (t < 0 || t == i) continue;
+            if (t >= n) return -1;  // out-of-domain id: caller falls back
             int64_t ra = uf_find(parent, i);
             int64_t rb = uf_find(parent, t);
             if (ra == rb) continue;
@@ -73,6 +74,8 @@ int64_t edge_list_components(int64_t n, int64_t m, const int64_t* src,
     std::vector<int64_t> size(n, 1);
     for (int64_t i = 0; i < n; ++i) parent[i] = i;
     for (int64_t e = 0; e < m; ++e) {
+        if (src[e] < 0 || src[e] >= n || dst[e] < 0 || dst[e] >= n)
+            return -1;  // out-of-domain id: caller falls back
         int64_t ra = uf_find(parent, src[e]);
         int64_t rb = uf_find(parent, dst[e]);
         if (ra == rb) continue;
@@ -100,17 +103,22 @@ int64_t edge_list_components(int64_t n, int64_t m, const int64_t* src,
 
 struct Edge { int64_t a, b; float d; };
 
+// thread_local: ctypes releases the GIL, so concurrent symmetrize calls on
+// different threads must not share (or race on) one edge cache.
 static std::vector<Edge>& cached_edges() {
-    static std::vector<Edge> edges;
+    thread_local std::vector<Edge> edges;
     return edges;
 }
 
 // fingerprint of the graph the cache was built from (guards against a
-// fill call ever consuming edges from a different degrees call)
-static int64_t& cached_n() { static int64_t v = -1; return v; }
-static int64_t& cached_k() { static int64_t v = -1; return v; }
+// fill call ever consuming edges from a different degrees call; within a
+// thread the Python wrapper always pairs degrees+fill back-to-back)
+static int64_t& cached_n() { thread_local int64_t v = -1; return v; }
+static int64_t& cached_k() { thread_local int64_t v = -1; return v; }
 
-static void collect_canonical_edges(int64_t n, int64_t k,
+// Returns false when a neighbor id is outside [0, n) (malformed padded
+// graph) so callers can fall back instead of corrupting memory.
+static bool collect_canonical_edges(int64_t n, int64_t k,
                                     const int32_t* indices,
                                     const float* distances,
                                     std::vector<Edge>& out) {
@@ -122,6 +130,7 @@ static void collect_canonical_edges(int64_t n, int64_t k,
         for (int64_t j = 0; j < k; ++j) {
             int32_t t = row[j];
             if (t < 0 || t == i) continue;
+            if (t >= n) { out.clear(); return false; }
             Edge e;
             e.a = std::min<int64_t>(i, t);
             e.b = std::max<int64_t>(i, t);
@@ -142,17 +151,22 @@ static void collect_canonical_edges(int64_t n, int64_t k,
         out[w++] = out[r];
     }
     out.resize(w);
+    return true;
 }
 
-// Phase 1: returns max degree; writes degrees[n] (neighbor counts
-// excluding self).
+// Phase 1: returns max degree, or -1 on out-of-domain neighbor ids;
+// writes degrees[n] (neighbor counts excluding self).
 int64_t symmetrize_degrees(int64_t n, int64_t k, const int32_t* indices,
                            const float* distances, int64_t* degrees) {
     // Phase 1 caches the sorted, deduped edge list for the immediately
     // following symmetrize_fill call (the wrapper always pairs them);
     // avoids collecting + sorting the edges twice.
     std::vector<Edge>& edges = cached_edges();
-    collect_canonical_edges(n, k, indices, distances, edges);
+    if (!collect_canonical_edges(n, k, indices, distances, edges)) {
+        cached_n() = -1;
+        cached_k() = -1;
+        return -1;
+    }
     cached_n() = n;
     cached_k() = k;
     std::memset(degrees, 0, sizeof(int64_t) * n);
@@ -173,8 +187,27 @@ void symmetrize_fill(int64_t n, int64_t k, const int32_t* indices,
                      int32_t* out_idx, float* out_dist,
                      int32_t* out_counts) {
     std::vector<Edge>& edges = cached_edges();
-    if (edges.empty() || cached_n() != n || cached_k() != k)
-        collect_canonical_edges(n, k, indices, distances, edges);
+    if (edges.empty() || cached_n() != n || cached_k() != k) {
+        if (!collect_canonical_edges(n, k, indices, distances, edges)) {
+            // malformed input: emit an all-pad result rather than OOB reads
+            // (the wrapper rejects via symmetrize_degrees before this)
+            const float inf = std::numeric_limits<float>::infinity();
+            for (int64_t i = 0; i < n; ++i) {
+                int32_t* oi = out_idx + i * width;
+                float* od = out_dist + i * width;
+                oi[0] = static_cast<int32_t>(i);
+                od[0] = 0.0f;
+                for (int64_t j = 1; j < width; ++j) {
+                    oi[j] = -1;
+                    od[j] = inf;
+                }
+                out_counts[i] = 1;
+            }
+            cached_n() = -1;
+            cached_k() = -1;
+            return;
+        }
+    }
     cached_n() = -1;
     cached_k() = -1;
 

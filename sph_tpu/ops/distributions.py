@@ -116,6 +116,12 @@ def gaussian_row_distributions(values: jax.Array, mask: jax.Array,
     #   copy distances; all-zero -> uniform; else unit-normalize, invert
     #   (1 - x); all-zero again -> uniform; else zero the ignored slot and
     #   renormalize.
+    # Documented deviation: in the all-zero branch the reference's
+    # assignSameProb writes 1/(nn-1) into ALL nn slots *including the self
+    # slot*; here the self slot stays 0 so every returned row sums to 1
+    # over valid entries (the invariant everything downstream relies on).
+    # Forces are unaffected — consumers skip slot 0 — but degenerate rows
+    # differ from the reference in the diagonal entry.
     degenerate = sigma < _MIN_SIGMA
     dsum = jnp.sum(vals, axis=1)
     all_zero = dsum == 0.0
