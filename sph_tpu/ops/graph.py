@@ -187,12 +187,19 @@ def symmetrize_graph(graph: KnnGraph | PaddedGraph,
     if isinstance(graph, KnnGraph):
         graph = graph.to_padded()
     if use_native:
-        from .. import native
+        from .device_merge import symmetrize_graph_device, \
+            use_device_restruct
         idx_in = np.where(graph.mask, graph.indices, -1).astype(np.int32)
+        dist_in = np.where(graph.mask, graph.distances,
+                           0.0).astype(np.float32)
         cap = int(os.environ.get("SPH_SYM_WIDTH_CAP", "1024"))
-        out = native.symmetrize(idx_in, np.where(graph.mask,
-                                                 graph.distances, 0.0),
-                                max_width=max(cap, 0))
+        if use_device_restruct():
+            out = symmetrize_graph_device(idx_in, dist_in, max(cap, 0))
+            if out is not None:
+                oi, od, oc = out
+                return _cap_width(PaddedGraph(oi, od, oc))
+        from .. import native
+        out = native.symmetrize(idx_in, dist_in, max_width=max(cap, 0))
         if out is not None:
             oi, od, oc = out
             return _cap_width(PaddedGraph(oi, od, oc))

@@ -212,6 +212,19 @@ def merge_rows_by_parents(sr: SparseRows, parents: np.ndarray,
     parents = np.asarray(parents, dtype=np.int64)
     assert parents.shape[0] == sr.num_rows
 
+    from .device_merge import merge_by_parents_device, use_device_restruct
+    if use_device_restruct():
+        res = merge_by_parents_device(sr.indices, sr.values, parents,
+                                      num_merged, weight_by_size, "sum",
+                                      max_width)
+        if res is not None:
+            oi, ov, truncated = res
+            if truncated:
+                Log.info("merge_rows_by_parents[device]: truncated rows to "
+                         "width %d (keeping largest values)", oi.shape[1])
+            out = SparseRows(oi, ov, num_merged)
+            return normalize_rows(out) if norm else out
+
     from .. import native
     merged = native.merge_sum(sr.indices, sr.values, parents, num_merged,
                               weight_by_size)
@@ -306,6 +319,18 @@ def merge_rows_min_by_parents(sr: SparseRows, parents: np.ndarray,
     mergeGraphNodes, SparseMatrixAlgorithms.cpp:443-561): duplicate merged
     entries keep the smallest value."""
     parents = np.asarray(parents, dtype=np.int64)
+
+    from .device_merge import merge_by_parents_device, use_device_restruct
+    if use_device_restruct():
+        res = merge_by_parents_device(sr.indices, sr.values, parents,
+                                      num_merged, False, "min", max_width)
+        if res is not None:
+            oi, ov, truncated = res
+            if truncated:
+                Log.info("merge_rows_min_by_parents[device]: truncated rows "
+                         "to width %d (keeping smallest)", oi.shape[1])
+            return SparseRows(oi, ov, num_merged)
+
     from .. import native
     merged = native.merge_min(sr.indices, sr.values, parents, num_merged)
     if merged is not None:

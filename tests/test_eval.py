@@ -81,7 +81,7 @@ def test_schedules():
 def test_reference_grid_json_parses():
     s = load_eval_settings("/root/reference/comparison/"
                            "comparison_pines_embed.json")
-    assert s.image_names == ["pines_synth"]
+    assert s.image_names == ["indian_pines_corrected_normed"]
     assert s.component_sim == [ComponentSim.NEIGH_WALKS]
     assert s.n_knns == [90]
     runs = list(expand_runs(s))
