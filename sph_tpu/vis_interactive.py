@@ -22,6 +22,11 @@ Capabilities (mirroring Renderer.cpp's ImGui controls):
 Usage:
     from sph_tpu.vis_interactive import export_explorer
     export_explorer(ch, embeddings={1: emb}, path="explorer.html")
+
+Validation status: the build image has no browser or JS runtime, so the
+embedded script is hand-reviewed and the exported payload is covered by
+tests (tests/test_vis_interactive.py parses the embedded JSON and checks
+label/edge/walk domains); open the file in any browser to use it.
 """
 
 from __future__ import annotations
@@ -42,8 +47,12 @@ def _level_payload(ch, level: int, emb: Optional[np.ndarray]) -> dict:
     n = int(h.num_components[level])
     out: dict = {"n": n}
 
-    # image-space labels at this level (flat, row-major)
-    labels = h.level_labels(level)
+    # image-space labels at this level (flat, row-major); level 0 is the
+    # identity pixel->component map
+    if level == 0:
+        labels = np.arange(int(h.num_components[0]), dtype=np.int32)
+    else:
+        labels = h.pixel_components[level]
     out["labels"] = np.asarray(labels, np.int32).tolist()
 
     if emb is not None:
@@ -53,25 +62,31 @@ def _level_payload(ch, level: int, emb: Optional[np.ndarray]) -> dict:
                       for x, y in e]
 
     if n <= MAX_EMBED_COMPONENTS:
-        # kNN graph at this level (from the level similarities' component
-        # kNN when available, else the hierarchy's spatial adjacency)
-        edges = []
+        # similarity graph at this level (the symmetrized prob dist)
+        pd = None
         try:
             pd = ch.level_similarities.get_prob_dist(level)
+        except Exception:
+            pass
+        edges = []
+        if pd is not None and pd.num_rows == n:
             idx, val = pd.indices, pd.values
             for i in range(pd.num_rows):
                 for j in range(pd.width):
                     t = int(idx[i, j])
-                    if t < 0 or t == i or t < i:   # undirected: emit once
+                    if t < 0 or t <= i:            # undirected: emit once
                         continue
-                    edges.append([i, t, round(float(val[i, j]), 6)])
-        except Exception:
-            pass
+                    v = max(round(float(val[i, j]), 6), 1e-6)
+                    edges.append([i, t, v])
         out["edges"] = edges
 
-        # random-walk rows (sparse) for the click-to-paint overlay
-        try:
-            w = h.random_walks[level]
+        # similarity rows for the click-to-paint overlay: the hierarchy's
+        # random-walk matrix when walk-based sims were computed, else the
+        # level's probability rows (Renderer.cpp paints walk mass; both
+        # are "similarity from the clicked component")
+        w = (h.random_walks[level]
+             if level < len(h.random_walks) else pd)
+        if w is not None and w.num_rows == n:
             rows = []
             for i in range(w.num_rows):
                 cols = [int(c) for c in w.indices[i] if c >= 0]
@@ -79,8 +94,6 @@ def _level_payload(ch, level: int, emb: Optional[np.ndarray]) -> dict:
                         for c, v in zip(w.indices[i], w.values[i]) if c >= 0]
                 rows.append([cols, vals])
             out["walks"] = rows
-        except Exception:
-            pass
     return out
 
 
@@ -93,8 +106,8 @@ def export_explorer(ch, embeddings: Optional[Dict[int, np.ndarray]] = None,
     embeddings = embeddings or {}
     data = {
         "title": title,
-        "rows": int(ch.num_rows),
-        "cols": int(ch.num_cols),
+        "rows": int(h.settings.num_rows),
+        "cols": int(h.settings.num_cols),
         "num_levels": int(h.num_levels),
         "num_components": [int(c) for c in h.num_components],
         "levels": {
@@ -314,8 +327,7 @@ function clicked(i,e){if(i<0)return;
   $("info").textContent=`component ${i}`+
    (wr?`\nwalk row: ${Object.keys(wr.m).length} entries, max ${wr.mx}`:"");}
  draw();}
-$("embC").addEventListener("click",e=>{if(ev.dragDist)return;
- clicked(pickEmb(e),e);});
+$("embC").addEventListener("click",e=>clicked(pickEmb(e),e));
 $("imgC").addEventListener("click",e=>clicked(pickImg(e),e));
 $("clearSel").onclick=()=>{sel=-1;sel2=-1;path=[];
  $("info").textContent="";draw();};
