@@ -214,7 +214,9 @@ def knn_ivf(data: np.ndarray, k: int,
             nlist: Optional[int] = None,
             nprobe: Optional[int] = None,
             seed: int = 0,
-            quantize: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+            quantize: bool = False,
+            query_rows: Optional[np.ndarray] = None
+            ) -> Tuple[np.ndarray, np.ndarray]:
     """Approximate kNN via IVF cluster pruning (reference: Knn.cpp
     computeIndexIVFFlat:138-175 — nlist = max(100, sqrt(n)), nprobe =
     sqrt(nlist)).
@@ -222,6 +224,10 @@ def knn_ivf(data: np.ndarray, k: int,
     Queries search only the `nprobe` nearest cluster inverted lists; the
     candidate set per query is gathered into a padded [Q, C] block and scored
     with one masked matmul per query block.
+
+    query_rows: optional [Q] row ids — search only these queries (recall
+    measurement / serving); the result rows then correspond to query_rows
+    order and the self-first fixup is skipped (row index != point id).
     """
     data = np.ascontiguousarray(data, dtype=np.float32)
     n, d = data.shape
@@ -254,14 +260,6 @@ def knn_ivf(data: np.ndarray, k: int,
     slot = np.arange(n) - starts[sorted_assign]
     lists[sorted_assign, slot] = order.astype(np.int32)
 
-    # nprobe nearest centroids per query
-    cd = (np.sum(data * data, 1)[:, None] + np.sum(cents * cents, 1)[None, :]
-          - 2.0 * data @ cents.T)
-    probes = np.argpartition(cd, min(nprobe, nlist - 1), axis=1)[:, :nprobe]
-
-    # candidate sets: [N, nprobe * lmax]
-    cand = lists[probes].reshape(n, -1)
-
     if quantize:
         # HNSWSQ-tier 8-bit scalar quantization (reference: Knn.cpp
         # computeIndexHNSWSQ:246-319 with faiss QT_8bit): per-dimension
@@ -274,22 +272,33 @@ def knn_ivf(data: np.ndarray, k: int,
                         255).astype(np.uint8)
         data = (codes.astype(np.float32) * scale_q + lo).astype(np.float32)
 
-    idx, dist = _ivf_score(jnp.asarray(data), jnp.asarray(cand),
-                           k, metric.value, l2_squared)
+    queries = data if query_rows is None else data[np.asarray(query_rows)]
+
+    # nprobe nearest centroids per query
+    cd = (np.sum(queries * queries, 1)[:, None]
+          + np.sum(cents * cents, 1)[None, :] - 2.0 * queries @ cents.T)
+    probes = np.argpartition(cd, min(nprobe, nlist - 1), axis=1)[:, :nprobe]
+
+    # candidate sets: [Q, nprobe * lmax]
+    cand = lists[probes].reshape(len(queries), -1)
+
+    idx, dist = _ivf_score(jnp.asarray(data), jnp.asarray(queries),
+                           jnp.asarray(cand), k, metric.value, l2_squared)
     idx = np.asarray(idx)
     dist = np.asarray(dist)
-    from .graph import ensure_self_first
-    idx, dist, _ = ensure_self_first(idx, dist)
+    if query_rows is None:
+        from .graph import ensure_self_first
+        idx, dist, _ = ensure_self_first(idx, dist)
     return idx.astype(np.int32), dist.astype(np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "l2_squared"))
-def _ivf_score(data: jax.Array, cand: jax.Array, k: int, metric: str,
-               l2_squared: bool):
-    n, _ = data.shape
+def _ivf_score(data: jax.Array, queries: jax.Array, cand: jax.Array,
+               k: int, metric: str, l2_squared: bool):
+    n, _ = queries.shape
 
     def block_fn(q0):
-        q = jax.lax.dynamic_slice_in_dim(data, q0 * 256, 256)
+        q = jax.lax.dynamic_slice_in_dim(queries, q0 * 256, 256)
         c = jax.lax.dynamic_slice_in_dim(cand, q0 * 256, 256)
         cd = data[jnp.maximum(c, 0)]                    # [B, C, D]
         diff = q[:, None, :] - cd
@@ -305,7 +314,7 @@ def _ivf_score(data: jax.Array, cand: jax.Array, k: int, metric: str,
 
     npad = _ceil_to(n, 256)
     if npad != n:
-        data = jnp.pad(data, ((0, npad - n), (0, 0)))
+        queries = jnp.pad(queries, ((0, npad - n), (0, 0)))
         cand = jnp.pad(cand, ((0, npad - n), (0, 0)), constant_values=-1)
     dists, ids = jax.lax.map(block_fn, jnp.arange(npad // 256))
     dists = dists.reshape(npad, k)[:n]

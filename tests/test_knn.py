@@ -116,3 +116,22 @@ def test_connect_components_s_curve():
     connected = nn.connect_components()
     new_ncc, _ = weak_connected_components(connected)
     assert new_ncc == 1
+
+
+def test_knn_ivf_query_rows():
+    """query_rows searches only the sampled queries; results match the
+    full-graph IVF rows for those queries (same index seed)."""
+    import numpy as np
+    from sph_tpu.ops.knn import knn_ivf
+
+    rng = np.random.default_rng(5)
+    pos = rng.standard_normal((600, 8)).astype(np.float32)
+    full_idx, full_dist = knn_ivf(pos, 6, nlist=24, nprobe=24)  # exhaustive
+    q = np.array([3, 77, 410, 599])
+    q_idx, q_dist = knn_ivf(pos, 6, nlist=24, nprobe=24, query_rows=q)
+    for r, row in enumerate(q):
+        # full path applies the self-first fixup, query path does not;
+        # compare as sets + distances sorted
+        assert set(q_idx[r]) == set(full_idx[row])
+        assert np.allclose(np.sort(q_dist[r]), np.sort(full_dist[row]),
+                           atol=1e-5)
