@@ -195,3 +195,21 @@ def test_default_settings_seed_ks():
     for level in range(h.num_levels):
         pd = ch.level_similarities.get_prob_dist(level)
         assert pd.num_rows == h.num_components[level]
+
+
+def test_pipeline_pinned_fingerprint():
+    """The canonical 8x8 checker pipeline fingerprint (also recorded in the
+    verify skill): pins level counts across refactors. Verified identical
+    on round-1 HEAD c886d47 and the round-2 device-restructuring path."""
+    img = create_checker_image(8, 8, channels=4, block=2, noise=0.02)
+    stack = ImageStack.from_array(img)
+    data = scale(stack.data, Scaler.STANDARD)
+    ch = ComputeHierarchy().init(
+        data, 8, 8,
+        ihs=ImageHierarchySettings(),
+        lss=LevelSimilaritiesSettings(ks=[8]),
+        rws=RandomWalkSettings(num_random_walks=10, single_walk_length=5,
+                               random_seed=1),
+        nns=NearestNeighborsSettings(num_nearest_neighbors=8))
+    ch.compute()
+    assert ch.image_hierarchy.hierarchy.num_components == [64, 19, 2, 1]
