@@ -86,8 +86,11 @@ def _repulsive_forces(y: jax.Array, n_valid, block: int):
     def row_block(rb):
         yb = jax.lax.dynamic_slice_in_dim(y, rb * block, block)
         sqb = jax.lax.dynamic_slice_in_dim(sq, rb * block, block)
+        # HIGHEST: default-precision f32 dots multiply in bf16 on the MXU,
+        # and the |x|^2+|y|^2-2xy expansion amplifies that to ~0.3% in d2.
         d2 = (sqb[:, None] + sq[None, :]
-              - 2.0 * jnp.dot(yb, y.T, preferred_element_type=jnp.float32))
+              - 2.0 * jnp.dot(yb, y.T, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST))
         w = 1.0 / (1.0 + jnp.maximum(d2, 0.0))
         row_ids = (jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
                    + rb * block)
@@ -98,7 +101,8 @@ def _repulsive_forces(y: jax.Array, n_valid, block: int):
         w2 = w * w
         s2 = jnp.sum(w2, axis=1)
         rep = s2[:, None] * yb - jnp.dot(
-            w2, y, preferred_element_type=jnp.float32)
+            w2, y, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         return rep, z_part
 
     rep, z_parts = jax.lax.map(row_block, jnp.arange(num_blocks))
@@ -117,16 +121,21 @@ def _attractive_forces(y: jax.Array, p_idx: jax.Array, p_val: jax.Array):
 
 
 @functools.partial(jax.jit, static_argnames=("block", "iters",
-                                             "use_pallas"))
+                                             "use_pallas", "use_dense"))
 def tsne_iterations(y, vel, gain, it0, p_idx, p_val, n_valid,
                     params_vec, iters: int, block: int,
-                    use_pallas: bool = False):
+                    use_pallas: bool = False, p_dense=None,
+                    use_dense: bool = False):
     """Run `iters` gradient-descent steps (jitted inner loop).
 
     params_vec: [eta, momentum, final_momentum, mom_switch, exag_factor,
                  remove_exag, decay_iter, min_gain] as f32.
     use_pallas: fused VMEM repulsion kernel (TPU); the XLA tiled path
     otherwise.
+    use_dense: fused dense-P attraction+repulsion Pallas pass (TPU; P
+    streamed from HBM).  TPU gathers make the sparse attraction term
+    14+ ms/iter at N=5.6k, the fused dense pass ~0.3 ms; the driver picks
+    it whenever the dense P fits comfortably in HBM.
     """
     (eta, mom0, mom1, mom_switch, exag_f, remove_exag, decay_iter,
      min_gain) = [params_vec[i] for i in range(8)]
@@ -141,13 +150,20 @@ def tsne_iterations(y, vel, gain, it0, p_idx, p_val, n_valid,
                                                 decay)
         momentum = jnp.where(itf < mom_switch, mom0, mom1)
 
-        attr = _attractive_forces(y, p_idx, p_val)
-        if use_pallas:
-            from ..ops.pallas.tsne_kernels import tsne_repulsion
-            rep, z = tsne_repulsion(y, n_valid, row_block=block,
-                                    col_block=block)
+        if use_dense:
+            from ..ops.pallas.tsne_kernels import tsne_forces_dense
+            npad = y.shape[0]
+            attr, rep, z = tsne_forces_dense(
+                y, p_dense, n_valid, row_block=min(256, npad),
+                col_block=min(1024, npad))
         else:
-            rep, z = _repulsive_forces(y, n_valid, block)
+            attr = _attractive_forces(y, p_idx, p_val)
+            if use_pallas:
+                from ..ops.pallas.tsne_kernels import tsne_repulsion
+                rep, z = tsne_repulsion(y, n_valid, row_block=block,
+                                        col_block=block)
+            else:
+                rep, z = _repulsive_forces(y, n_valid, block)
         grad = 4.0 * (exag * attr - rep / jnp.maximum(z, 1e-12))
 
         same_sign = jnp.sign(grad) == jnp.sign(vel)
@@ -300,7 +316,24 @@ class TsneComputation:
                  exag, self.params.remove_exaggeration_iter,
                  self.params.exponential_decay_iter)
 
-        block = min(self._block, _ceil_to(n, 8))
+        # dense-P fused pass: the TPU-idiomatic mode whenever the [Np, Np]
+        # joint P fits comfortably in HBM (default cap 24576 -> 2.4 GB of
+        # a 16 GB v5e).  SPH_TSNE_DENSE_P: "1"/"0" force, else auto.
+        dense_cap = int(os.environ.get("SPH_TSNE_DENSE_P_MAX", "24576"))
+        dense_env = os.environ.get("SPH_TSNE_DENSE_P", "auto")
+        if dense_env == "0":
+            use_dense = False
+        elif dense_env == "1":
+            use_dense = True
+        else:
+            use_dense = bool(self._use_pallas) and n <= dense_cap
+        self._use_dense_p = use_dense
+
+        if use_dense:
+            # tile for the fused kernel: col blocks of <=1024 lanes
+            block = min(1024, _ceil_to(n, 256))
+        else:
+            block = min(self._block, _ceil_to(n, 8))
         npad = _ceil_to(n, block)
         self._block_eff = block
         self._npad = npad
@@ -327,6 +360,15 @@ class TsneComputation:
 
         self._p_idx = jnp.asarray(p_idx)
         self._p_val = jnp.asarray(p_val)
+        self._p_dense = None
+        if use_dense:
+            rows = np.broadcast_to(np.arange(npad, dtype=np.int32)[:, None],
+                                   p_idx.shape)
+            safe_idx = jnp.asarray(np.where(p_idx >= 0, p_idx, rows))
+            masked_val = jnp.asarray(np.where(p_idx >= 0, p_val, 0.0))
+            self._p_dense = (jnp.zeros((npad, npad), jnp.float32)
+                             .at[jnp.asarray(rows), safe_idx]
+                             .add(masked_val))
         self._state = TsneState(
             embedding=jnp.asarray(y),
             velocity=jnp.zeros((npad, 2), jnp.float32),
@@ -365,7 +407,7 @@ class TsneComputation:
             s.embedding, s.velocity, s.gain, jnp.int32(s.iteration),
             self._p_idx, self._p_val, jnp.int32(self._n),
             self._params_vec(), iterations, self._block_eff,
-            self._use_pallas_eff)
+            self._use_pallas_eff, self._p_dense, self._use_dense_p)
         self._state = TsneState(y, vel, gain, int(s.iteration) + iterations)
 
     def _single_point(self):

@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _rep_kernel(n_ref, yt_ref, rept_ref, z_ref, *, row_block: int,
+def _rep_kernel(n_ref, yt_ref, rept_ref, *, row_block: int,
                 col_block: int, npad: int):
     i = pl.program_id(0)
     n_valid = n_ref[0]
@@ -43,7 +43,7 @@ def _rep_kernel(n_ref, yt_ref, rept_ref, z_ref, *, row_block: int,
     num_chunks = npad // col_block
 
     def chunk(c, carry):
-        accx, accy, s2, z = carry
+        accx, accy, s2, zrow = carry
         cx = yt_ref[0, pl.ds(c * col_block, col_block)].reshape(
             1, col_block)
         cy = yt_ref[1, pl.ds(c * col_block, col_block)].reshape(
@@ -58,20 +58,23 @@ def _rep_kernel(n_ref, yt_ref, rept_ref, z_ref, *, row_block: int,
         valid = ((col_ids != row_ids) & (col_ids < n_valid)
                  & (row_ids < n_valid))
         w = jnp.where(valid, w, 0.0)
-        z = z + jnp.sum(w)
+        zrow = zrow + jnp.sum(w, axis=1, keepdims=True)
         w2 = w * w
         s2 = s2 + jnp.sum(w2, axis=1, keepdims=True)
         accx = accx + jnp.sum(w2 * cx, axis=1, keepdims=True)
         accy = accy + jnp.sum(w2 * cy, axis=1, keepdims=True)
-        return accx, accy, s2, z
+        return accx, accy, s2, zrow
 
     zero = jnp.zeros((row_block, 1), jnp.float32)
-    accx, accy, s2, z = jax.lax.fori_loop(
-        0, num_chunks, chunk, (zero, zero, zero, jnp.float32(0.0)))
+    accx, accy, s2, zrow = jax.lax.fori_loop(
+        0, num_chunks, chunk, (zero, zero, zero, zero))
 
     rept_ref[0, :] = (s2 * rx - accx).reshape(row_block)
     rept_ref[1, :] = (s2 * ry - accy).reshape(row_block)
-    z_ref[0, 0] = z
+    # Per-row Z partials ride the third output row (a separate scalar
+    # output would need a (1, 1) blocked SMEM spec, which real-TPU
+    # lowering rejects); the caller reduces them.
+    rept_ref[2, :] = zrow.reshape(row_block)
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block",
@@ -91,23 +94,112 @@ def tsne_repulsion(y: jax.Array, n_valid: jax.Array, row_block: int = 256,
     yt = y.T  # [2, Npad]; point dim on lanes
     kernel = functools.partial(_rep_kernel, row_block=row_block,
                                col_block=col_block, npad=npad)
-    rept, z_parts = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # n_valid [1]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # yt [2, Npad], full
         ],
-        out_specs=(
-            pl.BlockSpec((2, row_block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((2, npad), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 1), jnp.float32),
-        ),
+        out_specs=pl.BlockSpec((3, row_block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, npad), jnp.float32),
         interpret=interpret,
     )(jnp.asarray([n_valid], jnp.int32).reshape(1), yt)
-    return rept.T, jnp.sum(z_parts)
+    return out[:2].T, jnp.sum(out[2])
+
+
+def _forces_kernel(n_ref, yt_ref, p_ref, out_ref, *, row_block: int,
+                   col_block: int):
+    """One (row-block, col-block) tile of the fused t-SNE force pass.
+
+    For the tile's pairs it computes the Student-t weight w and streams the
+    dense joint-P tile from HBM, accumulating SIX row reductions into
+    out_ref (the [8, row_block] block for row-block i, revisited across the
+    col grid): s2 = sum w^2, (ax, ay) = sum w^2 * y_j, z = sum w,
+    sa = sum p w, (bx, by) = sum p w * y_j.  The caller finalizes
+    rep = s2*y - a and attr = sa*y - b, so no [N, N] intermediate and no
+    TPU gather ever materializes (gathers measured 14+ ms/iter at N=5.6k;
+    this pass is HBM-bound on P at ~N^2*4 bytes)."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    n_valid = n_ref[0]
+
+    rx = yt_ref[0, pl.ds(i * row_block, row_block)].reshape(row_block, 1)
+    ry = yt_ref[1, pl.ds(i * row_block, row_block)].reshape(row_block, 1)
+    cx = yt_ref[0, pl.ds(c * col_block, col_block)].reshape(1, col_block)
+    cy = yt_ref[1, pl.ds(c * col_block, col_block)].reshape(1, col_block)
+    row_ids = (jax.lax.broadcasted_iota(jnp.int32, (row_block, 1), 0)
+               + i * row_block)
+    col_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, col_block), 1)
+               + c * col_block)
+
+    dx = rx - cx
+    dy = ry - cy
+    w = 1.0 / (1.0 + dx * dx + dy * dy)
+    valid = ((col_ids != row_ids) & (col_ids < n_valid)
+             & (row_ids < n_valid))
+    w = jnp.where(valid, w, 0.0)
+    p = jnp.where(valid, p_ref[...], 0.0)
+
+    w2 = w * w
+    pw = p * w
+    contrib = jnp.concatenate([
+        jnp.sum(w2, axis=1).reshape(1, row_block),
+        jnp.sum(w2 * cx, axis=1).reshape(1, row_block),
+        jnp.sum(w2 * cy, axis=1).reshape(1, row_block),
+        jnp.sum(w, axis=1).reshape(1, row_block),
+        jnp.sum(pw, axis=1).reshape(1, row_block),
+        jnp.sum(pw * cx, axis=1).reshape(1, row_block),
+        jnp.sum(pw * cy, axis=1).reshape(1, row_block),
+        jnp.zeros((1, row_block), jnp.float32),
+    ], axis=0)
+
+    @pl.when(c == 0)
+    def _init():
+        out_ref[...] = contrib
+
+    @pl.when(c > 0)
+    def _acc():
+        out_ref[...] += contrib
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block",
+                                             "interpret"))
+def tsne_forces_dense(y: jax.Array, p_dense: jax.Array, n_valid: jax.Array,
+                      row_block: int = 256, col_block: int = 1024,
+                      interpret: bool = False):
+    """Fused attraction+repulsion over a DENSE joint P.
+
+    y [Npad, 2], p_dense [Npad, Npad] (zero off-support / on pads) ->
+    (attr [Npad, 2], rep [Npad, 2], Z scalar).  P streams tile-by-tile from
+    HBM, so the per-iteration cost is one N^2 f32 read — the TPU-idiomatic
+    replacement for both the Barnes-Hut tree (EmbedTsne.cpp:165-178) and
+    the GL texture splat (EmbedTsne.cpp:342-395) of the reference.
+    """
+    npad = y.shape[0]
+    assert p_dense.shape == (npad, npad), (p_dense.shape, npad)
+    assert npad % row_block == 0 and npad % col_block == 0, (
+        npad, row_block, col_block)
+
+    yt = y.T
+    kernel = functools.partial(_forces_kernel, row_block=row_block,
+                               col_block=col_block)
+    out = pl.pallas_call(
+        kernel,
+        grid=(npad // row_block, npad // col_block),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # n_valid [1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # yt [2, Npad], full
+            pl.BlockSpec((row_block, col_block), lambda i, c: (i, c)),
+        ],
+        out_specs=pl.BlockSpec((8, row_block), lambda i, c: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray([n_valid], jnp.int32).reshape(1), yt, p_dense)
+
+    s2, ax, ay, zrow, sa, bx, by = (out[j] for j in range(7))
+    rep = jnp.stack([s2 * yt[0] - ax, s2 * yt[1] - ay], axis=1)
+    attr = jnp.stack([sa * yt[0] - bx, sa * yt[1] - by], axis=1)
+    return attr, rep, jnp.sum(zrow)
