@@ -254,22 +254,27 @@ class Hierarchy:
         # preserve the self-similarity when the top level is a single node
         # (reference: :387-389)
         if out.num_rows == 1 and out.nnz() == 0:
-            out.indices[0, 0] = 0
-            out.values[0, 0] = 1.0
+            idx = np.full((1, out.width), -1, np.int32)
+            val = np.zeros((1, out.width), np.float32)
+            idx[0, 0] = 0
+            val[0, 0] = 1.0
+            out = SparseRows(idx, val, out.num_cols)
         self.random_walks.append(out)
 
 
 def _sparse_distance_rows_to_probs(dist_rows: SparseRows) -> SparseRows:
     """Gaussian-normalize sparse distance rows into transition probabilities
     (reference: updateRandomWalks MERGE_DATA_NEW_WALKS path calling
-    normalizeKnnDistances on the merged graph)."""
+    normalizeKnnDistances on the merged graph).  Fully device-resident:
+    the merged graph arrives on device and the probability rows feed the
+    device walk sampler without a host round trip."""
+    import jax
     import jax.numpy as jnp
     from ..ops.distributions import gaussian_row_distributions
 
-    mask = dist_rows.mask & ~(dist_rows.indices
-                              == np.arange(dist_rows.num_rows)[:, None])
-    p = gaussian_row_distributions(
-        jnp.asarray(dist_rows.values), jnp.asarray(mask),
-        jnp.float32(-1.0), ignore_first=False)
-    return normalize_rows(SparseRows(dist_rows.indices,
-                                     np.asarray(p), dist_rows.num_cols))
+    idx_d, val_d = dist_rows.device()
+    rows = jax.lax.broadcasted_iota(jnp.int32, idx_d.shape, 0)
+    mask = (idx_d >= 0) & (idx_d != rows)
+    p = gaussian_row_distributions(val_d, mask, jnp.float32(-1.0),
+                                   ignore_first=False)
+    return normalize_rows(SparseRows(idx_d, p, dist_rows.num_cols))

@@ -208,15 +208,18 @@ def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
-def merge_by_parents_device(indices: np.ndarray, values: np.ndarray,
+def merge_by_parents_device(indices, values,
                             parents: np.ndarray, num_merged: int,
                             weight_by_size: bool, combine: str,
                             max_width: int | None):
     """Device merge with doubling-width retry.
 
-    Returns (out_idx [M, w] i32, out_val [M, w] f32, truncated: bool) with
-    w == the smallest sufficient width (<= max_width when given), or None
-    when the input is malformed (out-of-domain ids -> host fallback).
+    indices/values may be numpy or device arrays (device-resident chains
+    pass `sr.device()` so nothing re-crosses the tunnel).  Returns
+    (out_idx [M, w] i32, out_val [M, w] f32, truncated: bool) as DEVICE
+    arrays with w == a power-of-two sufficient width (<= max_width when
+    given), or None when the input is malformed (out-of-domain ids ->
+    host fallback).
     """
     n, r = indices.shape
     if n == 0 or num_merged <= 0:
@@ -224,8 +227,17 @@ def merge_by_parents_device(indices: np.ndarray, values: np.ndarray,
     if int(parents.min(initial=0)) < 0 or \
             int(parents.max(initial=0)) >= num_merged:
         return None
-    if indices.size and int(indices.max()) >= n:
-        return None
+
+    if isinstance(indices, jax.Array):
+        idx_d = indices
+        val_d = values
+        if idx_d.size and int(jnp.max(idx_d)) >= n:
+            return None
+    else:
+        if indices.size and int(indices.max()) >= n:
+            return None
+        idx_d = jnp.asarray(np.ascontiguousarray(indices, np.int32))
+        val_d = jnp.asarray(np.ascontiguousarray(values, np.float32))
 
     m_pad = _next_pow2(num_merged)
     cap = max_width if max_width is not None else 1 << 30
@@ -233,8 +245,6 @@ def merge_by_parents_device(indices: np.ndarray, values: np.ndarray,
     guess = r * max(int(np.ceil(n / max(num_merged, 1))), 1)
     width = min(_next_pow2(max(min(guess, 4 * r), 16)), _next_pow2(cap))
 
-    idx_d = jnp.asarray(np.ascontiguousarray(indices, np.int32))
-    val_d = jnp.asarray(np.ascontiguousarray(values, np.float32))
     par_d = jnp.asarray(np.ascontiguousarray(parents, np.int32))
 
     while True:
@@ -245,10 +255,14 @@ def merge_by_parents_device(indices: np.ndarray, values: np.ndarray,
             break
         width = min(_next_pow2(need), _next_pow2(cap))
 
-    w = max(min(need, cap, width), 1)
+    # keep the stored width a power of two so downstream bucketed kernels
+    # (bhattacharyya, walks, gaussian rows) share compiled programs
+    w = max(min(_next_pow2(max(need, 1)), width), 1)
+    if w > cap:
+        w = cap
     truncated = need > w
-    oi = np.asarray(oi[:num_merged, :w])
-    ov = np.asarray(ov[:num_merged, :w])
+    oi = oi[:num_merged, :w]
+    ov = ov[:num_merged, :w]
     return oi, ov, truncated
 
 

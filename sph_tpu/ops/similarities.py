@@ -56,16 +56,20 @@ def walks_single_overlap_distance(walks: SparseRows, pairs_a: np.ndarray,
                                   pairs_b: np.ndarray) -> np.ndarray:
     """1 - max(w[a, b], w[b, a]) (reference: simRandomWalksSingleOverlay,
     Similarities.cpp:328-351)."""
-    from .bucketing import bucket_rows, pad_axis, pad_width_pow2
+    from .bucketing import bucket_rows, next_pow2, pad_axis
     e = len(pairs_a)
-    idx_h, val_h = pad_width_pow2(walks.indices, walks.values)
-    idx = jnp.asarray(idx_h)
-    val = jnp.asarray(val_h)
+    idx, val = walks.device()
+    wp = next_pow2(walks.width)
+    if wp != walks.width:
+        idx = jnp.pad(idx, ((0, 0), (0, wp - walks.width)),
+                      constant_values=PAD)
+        val = jnp.pad(val, ((0, 0), (0, wp - walks.width)),
+                      constant_values=0.0)
     pairs_a = np.asarray(pairs_a, np.int32)
     pairs_b = np.asarray(pairs_b, np.int32)
     if e == 0:
         return np.empty(0, np.float32)
-    chunk = _pair_chunks(e, idx_h.shape[1])
+    chunk = _pair_chunks(e, wp)
     out = np.empty(e, np.float32)
     for i0 in range(0, max(e, 1), chunk):
         i1 = min(i0 + chunk, e)

@@ -19,7 +19,6 @@ parents) are vectorized host ops.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax
@@ -31,38 +30,100 @@ from ..utils.logging import Log
 PAD = -1
 
 
-@dataclass
 class SparseRows:
     """Row-sparse matrix with fixed-width rows.
 
     indices: [N, R] int32, PAD (-1) padded, ascending within each row
     values:  [N, R] float32, 0 at pads
     num_cols: logical column count of the matrix
+
+    Dual residency: the constructor accepts numpy OR jax arrays.  Device
+    consumers call `.device()` (uploads once, cached); host consumers read
+    `.indices` / `.values` (downloads once, cached).  A device-produced
+    matrix that only feeds device ops never crosses the host boundary —
+    on the tunneled-TPU topology every fresh crossing costs ~30-45 ms
+    latency plus ~25 MB/s bandwidth, which dominated the round-1 hierarchy
+    wall clock (see docs/performance.md).
     """
 
-    indices: np.ndarray
-    values: np.ndarray
-    num_cols: int
+    __slots__ = ("_idx_np", "_val_np", "_idx_dev", "_val_dev", "num_cols")
+
+    def __init__(self, indices, values, num_cols: int):
+        if isinstance(indices, jax.Array):
+            self._idx_dev, self._idx_np = indices, None
+        else:
+            self._idx_np, self._idx_dev = np.asarray(indices), None
+        if isinstance(values, jax.Array):
+            self._val_dev, self._val_np = values, None
+        else:
+            self._val_np, self._val_dev = np.asarray(values), None
+        self.num_cols = num_cols
+
+    @property
+    def indices(self) -> np.ndarray:
+        if self._idx_np is None:
+            self._idx_np = np.asarray(self._idx_dev)
+        return self._idx_np
+
+    @property
+    def values(self) -> np.ndarray:
+        if self._val_np is None:
+            self._val_np = np.asarray(self._val_dev)
+        return self._val_np
+
+    @property
+    def on_device(self) -> bool:
+        """True when device copies exist (no upload needed)."""
+        return self._idx_dev is not None and self._val_dev is not None
+
+    @property
+    def device_only(self) -> bool:
+        """True when the host copies were never materialized; device-path
+        dispatchers use this to avoid pointless download+reupload."""
+        return (self._idx_dev is not None and self._idx_np is None
+                and self._val_np is None)
+
+    def device(self) -> Tuple[jax.Array, jax.Array]:
+        """Device copies of (indices, values); uploaded once and cached."""
+        if self._idx_dev is None:
+            self._idx_dev = jnp.asarray(self._idx_np)
+        if self._val_dev is None:
+            self._val_dev = jnp.asarray(self._val_np)
+        return self._idx_dev, self._val_dev
 
     @property
     def num_rows(self) -> int:
-        return self.indices.shape[0]
+        return self.shape[0]
 
     @property
     def width(self) -> int:
-        return self.indices.shape[1]
+        return self.shape[1]
+
+    @property
+    def shape(self) -> tuple:
+        src = self._idx_np if self._idx_np is not None else self._idx_dev
+        return src.shape
 
     @property
     def mask(self) -> np.ndarray:
         return self.indices >= 0
 
     def nnz(self) -> int:
+        if self.device_only:
+            idx, val = self.device()
+            return int(jnp.sum((idx >= 0) & (val != 0)))
         return int((self.mask & (self.values != 0)).sum())
 
     def row_nnz(self) -> np.ndarray:
+        if self.device_only:
+            idx, val = self.device()
+            return np.asarray(jnp.sum((idx >= 0) & (val != 0), axis=1))
         return (self.mask & (self.values != 0)).sum(axis=1)
 
     def row_sums(self) -> np.ndarray:
+        if self.device_only:
+            idx, val = self.device()
+            return np.asarray(jnp.sum(jnp.where(idx >= 0, val, 0.0), axis=1))
         return np.where(self.mask, self.values, 0.0).sum(axis=1)
 
     def get(self, row: int, col: int) -> float:
@@ -114,6 +175,10 @@ class SparseRows:
         return cls(indices, values, num_cols)
 
     def copy(self) -> "SparseRows":
+        if self.device_only:
+            # device arrays are immutable: sharing them is a safe copy
+            idx, val = self.device()
+            return SparseRows(idx, val, self.num_cols)
         return SparseRows(self.indices.copy(), self.values.copy(),
                           self.num_cols)
 
@@ -121,9 +186,49 @@ class SparseRows:
 # ---------------------------------------------------------------------------
 # normalization / cleanup (reference: SparseMatrixAlgorithms.cpp:617-718)
 # ---------------------------------------------------------------------------
+# Each op has a host (numpy) and a device (jit) body; the public function
+# dispatches on residency so device-resident chains never round-trip.
+
+@jax.jit
+def _compact_dev(idx: jax.Array, val: jax.Array):
+    big = jnp.int32(2**31 - 1)
+    key = jnp.where(idx < 0, big, idx)
+    order = jnp.argsort(key, axis=1, stable=True)
+    return (jnp.take_along_axis(idx, order, axis=1),
+            jnp.take_along_axis(val, order, axis=1))
+
+
+@jax.jit
+def _normalize_rows_dev(idx: jax.Array, val: jax.Array):
+    s = jnp.sum(jnp.where(idx >= 0, val, 0.0), axis=1, keepdims=True)
+    return val / jnp.where(s == 0, 1.0, s)
+
+
+@functools.partial(jax.jit, static_argnames=("keep_single",))
+def _remove_diagonal_dev(idx: jax.Array, val: jax.Array, keep_single: bool):
+    n, r = idx.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, r), 0)
+    diag = idx == rows
+    if keep_single:
+        nnz = jnp.sum((idx >= 0) & (val != 0), axis=1, keepdims=True)
+        diag = diag & (nnz > 1)
+    val2 = jnp.where(diag, 0.0, val)
+    idx2 = jnp.where(diag & (val2 == 0), PAD, idx)
+    return _compact_dev(idx2, val2)
+
+
+@jax.jit
+def _prune_values_dev(idx: jax.Array, val: jax.Array, threshold: jax.Array):
+    keep = val > threshold
+    return _compact_dev(jnp.where(keep, idx, PAD),
+                        jnp.where(keep, val, 0.0))
+
 
 def normalize_rows(sr: SparseRows) -> SparseRows:
     """Each row sums to one (normalizeUnitSparseMatrix)."""
+    if sr.device_only:
+        idx, val = sr.device()
+        return SparseRows(idx, _normalize_rows_dev(idx, val), sr.num_cols)
     s = sr.row_sums()
     s = np.where(s == 0, 1.0, s)
     return SparseRows(sr.indices, (sr.values / s[:, None]).astype(np.float32),
@@ -132,6 +237,10 @@ def normalize_rows(sr: SparseRows) -> SparseRows:
 
 def normalize_matrix(sr: SparseRows) -> SparseRows:
     """The whole matrix sums to one (normalizeSparseMatrix)."""
+    if sr.device_only:
+        idx, val = sr.device()
+        s = jnp.sum(jnp.where(idx >= 0, val, 0.0))
+        return SparseRows(idx, val / jnp.where(s == 0, 1.0, s), sr.num_cols)
     s = sr.row_sums().sum()
     if s == 0:
         return sr
@@ -144,6 +253,10 @@ def remove_diagonal(sr: SparseRows, keep_single_entry: bool = True
     """Zero out self entries (removeDiagonalElements,
     SparseMatrixAlgorithms.cpp:704-718).  Rows whose only entry is the
     diagonal keep it when keep_single_entry."""
+    if sr.device_only:
+        idx, val = sr.device()
+        oi, ov = _remove_diagonal_dev(idx, val, bool(keep_single_entry))
+        return SparseRows(oi, ov, sr.num_cols)
     rows = np.arange(sr.num_rows)[:, None]
     diag = sr.indices == rows
     if keep_single_entry:
@@ -158,6 +271,10 @@ def remove_diagonal(sr: SparseRows, keep_single_entry: bool = True
 
 def prune_values(sr: SparseRows, threshold: float) -> SparseRows:
     """Remove entries with value <= threshold (doRandomWalks pruning)."""
+    if sr.device_only:
+        idx, val = sr.device()
+        oi, ov = _prune_values_dev(idx, val, jnp.float32(threshold))
+        return SparseRows(oi, ov, sr.num_cols)
     keep = sr.values > threshold
     indices = np.where(keep, sr.indices, PAD)
     values = np.where(keep, sr.values, 0.0).astype(np.float32)
@@ -177,9 +294,26 @@ def _compact(indices: np.ndarray, values: np.ndarray, num_cols: int
     return SparseRows(indices[r, order], values[r, order], num_cols)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "largest"))
+def _topk_rows_dev(idx: jax.Array, val: jax.Array, k: int, largest: bool):
+    v = jnp.where(idx >= 0, val, -jnp.inf if largest else jnp.inf)
+    top, sel = jax.lax.top_k(v if largest else -v, k)
+    top = top if largest else -top
+    ti = jnp.take_along_axis(idx, sel, axis=1)
+    tv = jnp.where(jnp.isfinite(top),
+                   jnp.take_along_axis(val, sel, axis=1), 0.0)
+    ti = jnp.where(tv == 0, PAD, ti)
+    return _compact_dev(ti, tv)
+
+
 def topk_rows(sr: SparseRows, k: int, largest: bool = True) -> SparseRows:
     """Per-row top-k by value, result sorted by column index (findTopK /
     findBottomK, SparseMatrixAlgorithms.cpp:720-776)."""
+    if sr.device_only:
+        idx, val = sr.device()
+        kk = min(k, idx.shape[1])
+        oi, ov = _topk_rows_dev(idx, val, kk, bool(largest))
+        return SparseRows(oi, ov, sr.num_cols)
     v = np.where(sr.mask, sr.values, -np.inf if largest else np.inf)
     if largest:
         order = np.argsort(-v, axis=1, kind="stable")[:, :k]
@@ -214,7 +348,8 @@ def merge_rows_by_parents(sr: SparseRows, parents: np.ndarray,
 
     from .device_merge import merge_by_parents_device, use_device_restruct
     if use_device_restruct():
-        res = merge_by_parents_device(sr.indices, sr.values, parents,
+        idx_d, val_d = sr.device()
+        res = merge_by_parents_device(idx_d, val_d, parents,
                                       num_merged, weight_by_size, "sum",
                                       max_width)
         if res is not None:
@@ -322,7 +457,8 @@ def merge_rows_min_by_parents(sr: SparseRows, parents: np.ndarray,
 
     from .device_merge import merge_by_parents_device, use_device_restruct
     if use_device_restruct():
-        res = merge_by_parents_device(sr.indices, sr.values, parents,
+        idx_d, val_d = sr.device()
+        res = merge_by_parents_device(idx_d, val_d, parents,
                                       num_merged, False, "min", max_width)
         if res is not None:
             oi, ov, truncated = res
@@ -393,12 +529,16 @@ def bhattacharyya_pairs(sr: SparseRows, rows_a: np.ndarray,
     merge-step NEIGH_WALKS distances where only (component, spatial neighbor)
     pairs are needed.  Shapes are bucketed so every level shares compiled
     programs."""
-    from .bucketing import bucket_rows, pad_axis, pad_width_pow2
+    from .bucketing import bucket_rows, next_pow2, pad_axis
     e = len(rows_a)
-    idx, val = pad_width_pow2(sr.indices, sr.values)
-    r = idx.shape[1]
-    idx_d = jnp.asarray(idx)
-    val_d = jnp.asarray(val)
+    idx_d, val_d = sr.device()
+    w = next_pow2(sr.width)
+    if w != sr.width:
+        idx_d = jnp.pad(idx_d, ((0, 0), (0, w - sr.width)),
+                        constant_values=PAD)
+        val_d = jnp.pad(val_d, ((0, 0), (0, w - sr.width)),
+                        constant_values=0.0)
+    r = w
     rows_a = np.asarray(rows_a, np.int32)
     rows_b = np.asarray(rows_b, np.int32)
     if e == 0:
@@ -528,16 +668,18 @@ def pairwise_similarities(sr: SparseRows, k: int,
 
     from .bucketing import next_pow2
     wpad = next_pow2(sr.width)
-    indices = np.full((npad, wpad), PAD, dtype=np.int32)
-    values = np.zeros((npad, wpad), dtype=np.float32)
-    indices[:n, :sr.width] = sr.indices
-    values[:n, :sr.width] = sr.values
+    idx_d, val_d = sr.device()
+    if (npad, wpad) != (n, sr.width):
+        idx_d = jnp.pad(idx_d, ((0, npad - n), (0, wpad - sr.width)),
+                        constant_values=PAD)
+        val_d = jnp.pad(val_d, ((0, npad - n), (0, wpad - sr.width)),
+                        constant_values=0.0)
     scale = np.ones(npad, dtype=np.float32)
     if component_sizes is not None:
         scale[:n] = np.sqrt(component_sizes.astype(np.float32))
 
     top_i, top_d = _pairwise_sim_device(
-        jnp.asarray(indices), jnp.asarray(values), jnp.asarray(scale),
+        idx_d, val_d, jnp.asarray(scale),
         jnp.int32(n), k, block_eff, float(prune_val))
     top_i = np.asarray(top_i[:n])
     top_d = np.asarray(top_d[:n])

@@ -257,16 +257,18 @@ def do_random_walks(similarities: SparseRows,
     cap = settings.max_row_nnz or min(w * l, 2048)
     out_width = min(cap, w * l, c)
 
-    visited = _simulate(jnp.asarray(similarities.indices),
-                        jnp.asarray(similarities.values),
+    sim_idx, sim_val = similarities.device()
+    visited = _simulate(sim_idx, sim_val,
                         jnp.uint32(settings.random_seed), w, l)
     idx, val = _accumulate(visited, w, l,
                            settings.importance_weighting.value, out_width)
     idx, val = _postprocess(idx, val, jnp.float32(prune_value),
                             settings.remove_diagonal, settings.normalize)
 
-    rows = SparseRows(np.asarray(idx), np.asarray(val), c)
-    empty = int((rows.row_nnz() == 0).sum())
+    # stays device-resident: downstream merges / pair metrics read the
+    # device copies; the host copy materializes lazily if ever needed
+    rows = SparseRows(idx, val, c)
+    empty = int(jnp.sum(jnp.sum((idx >= 0) & (val != 0), axis=1) == 0))
     if empty:
         Log.warn("doRandomWalks: %d rows have no effective entries", empty)
     return rows

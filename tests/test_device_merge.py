@@ -32,6 +32,19 @@ def random_sparse(n, r, num_cols=None, seed=0, zero_frac=0.1):
     return _compact(idx, val, num_cols)
 
 
+def _pad_pair(a, b, fill):
+    """Pad both arrays to a common width: the device path keeps power-of-two
+    widths for compiled-program sharing, the host path exact widths."""
+    w = max(a.shape[1], b.shape[1])
+
+    def padto(x):
+        out = np.full((x.shape[0], w), fill, x.dtype)
+        out[:, :x.shape[1]] = x
+        return out
+
+    return padto(a), padto(b)
+
+
 def host_only(fn, *args, **kw):
     os.environ["SPH_DEVICE_RESTRUCT"] = "0"
     try:
@@ -58,17 +71,8 @@ def test_merge_sum_device_matches_host(wbs, seed):
     host = host_only(merge_rows_by_parents, sr, parents, m,
                      weight_by_size=wbs)
     assert dev.num_rows == host.num_rows
-    # same entries per row, ascending columns, pads at the end
-    wd, wh = dev.width, host.width
-    w = max(wd, wh)
-
-    def padto(a, fill):
-        out = np.full((a.shape[0], w), fill, a.dtype)
-        out[:, :a.shape[1]] = a
-        return out
-
-    assert np.array_equal(padto(dev.indices, -1), padto(host.indices, -1))
-    assert np.allclose(padto(dev.values, 0), padto(host.values, 0),
+    assert np.array_equal(*_pad_pair(dev.indices, host.indices, -1))
+    assert np.allclose(*_pad_pair(dev.values, host.values, 0),
                        rtol=2e-5, atol=1e-7)
 
 
@@ -89,9 +93,9 @@ def test_merge_min_device_matches_host():
     parents = np.random.default_rng(2).integers(0, 40, 300)
     dev = merge_rows_min_by_parents(sr, parents, 40)
     host = host_only(merge_rows_min_by_parents, sr, parents, 40)
-    assert np.array_equal(dev.indices, host.indices)
+    assert np.array_equal(*_pad_pair(dev.indices, host.indices, -1))
     # min semantics pick one exact input value: bitwise equal
-    assert np.array_equal(dev.values, host.values)
+    assert np.array_equal(*_pad_pair(dev.values, host.values, 0))
 
 
 def test_merge_min_device_truncation_keeps_smallest():
