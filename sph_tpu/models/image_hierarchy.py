@@ -124,20 +124,34 @@ class ImageHierarchy:
         """Reference: ImageHierarchy.cpp:149-190."""
         Log.info("ImageHierarchy::computePreparations: normalize knn "
                  "distances with %s", self._ihs.norm_knn_distances.value)
-        if isinstance(self._graph, KnnGraph):
-            knn_idx = self._graph.indices
-            knn_dist = self._graph.distances
-            mask = np.ones_like(knn_idx, dtype=bool)
-        else:
-            knn_idx = self._graph.indices
-            knn_dist = np.where(self._graph.mask, self._graph.distances, 0.0)
-            mask = self._graph.mask
-
-        probs = self._normalize_graph_rows(knn_idx, knn_dist, mask)
         n = self._data.shape[0]
-        self.data_level_probdist = SparseRows(
-            np.where(mask, knn_idx, -1).astype(np.int32),
-            probs.astype(np.float32), n)
+        if (isinstance(self._graph, PaddedGraph)
+                and self._graph.device_only):
+            # device-resident graph (symmetrized on device): normalize and
+            # build the probdist without downloading the wide rows
+            import jax.numpy as jnp
+            idx_d, dist_d = self._graph.device()
+            mask_d = idx_d >= 0
+            dist_d = jnp.where(mask_d, dist_d, 0.0)
+            probs = self._normalize_graph_rows(dist_d, mask_d)
+            self.data_level_probdist = SparseRows(
+                jnp.where(mask_d, idx_d, -1), probs, n)
+            knn_idx, knn_dist, mask = idx_d, dist_d, mask_d
+        else:
+            if isinstance(self._graph, KnnGraph):
+                knn_idx = self._graph.indices
+                knn_dist = self._graph.distances
+                mask = np.ones_like(knn_idx, dtype=bool)
+            else:
+                knn_idx = self._graph.indices
+                knn_dist = np.where(self._graph.mask,
+                                    self._graph.distances, 0.0)
+                mask = self._graph.mask
+
+            probs = self._normalize_graph_rows(knn_dist, mask)
+            self.data_level_probdist = SparseRows(
+                np.where(mask, knn_idx, -1).astype(np.int32),
+                probs.astype(np.float32), n)
 
         self.hierarchy.clear()
         self.hierarchy.init_first_level(n)
@@ -155,12 +169,19 @@ class ImageHierarchy:
             self.stats.rw_sparsities.append(1.0 - walks.nnz() / n2)
             if self._ihs.rw_handling == RandomWalkHandling.MERGE_DATA_NEW_WALKS:
                 # keep data distances for later merging (reference: :177-178)
-                dist_rows = SparseRows(
-                    np.where(mask, knn_idx, -1).astype(np.int32),
-                    np.where(mask, knn_dist, 0.0).astype(np.float32), n)
+                import jax
+                if isinstance(knn_idx, jax.Array):
+                    import jax.numpy as jnp
+                    dist_rows = SparseRows(
+                        jnp.where(mask, knn_idx, -1),
+                        jnp.where(mask, knn_dist, 0.0), n)
+                else:
+                    dist_rows = SparseRows(
+                        np.where(mask, knn_idx, -1).astype(np.int32),
+                        np.where(mask, knn_dist, 0.0).astype(np.float32), n)
                 self.hierarchy.merged_data_graphs.append(dist_rows)
 
-    def _normalize_graph_rows(self, idx, dist, mask) -> np.ndarray:
+    def _normalize_graph_rows(self, dist, mask):
         from ..ops.distributions import distance_rows_to_probabilities
         return distance_rows_to_probabilities(
             dist, mask, self._ihs.norm_knn_distances, perplexity=-1.0,

@@ -26,9 +26,9 @@ from ..settings import (ComponentSim, LevelSimilaritiesSettings,
 from ..utils.logging import Log
 from ..ops import component_knn
 from ..ops.graph import KnnGraph, PaddedGraph
-from ..ops.sparse import (SparseRows, _compact, normalize_rows,
-                          pairwise_similarities, symmetrize_tsne,
-                          symmetrize_umap, topk_rows)
+from ..ops.sparse import (SparseRows, _compact, drop_zero_entries,
+                          normalize_rows, pairwise_similarities,
+                          symmetrize_tsne, symmetrize_umap, topk_rows)
 from .hierarchy import Hierarchy
 
 
@@ -268,7 +268,10 @@ class LevelSimilarities:
             if self._image_hierarchy is not None:
                 Log.info("LevelSimilarities: using data-level probdist from "
                          "image hierarchy")
-                pd = self._image_hierarchy.data_level_probdist.copy()
+                # device view (jax arrays are immutable, so this is as safe
+                # as a copy): keeps the zero-drop + symmetrize on device
+                src = self._image_hierarchy.data_level_probdist
+                pd = SparseRows(*src.device(), src.num_cols)
             else:
                 pd = self._probdist_from_data_graph(perp)
         elif cs in (ComponentSim.NEIGH_WALKS, ComponentSim.GEO_WALKS,
@@ -279,10 +282,7 @@ class LevelSimilarities:
             pd = self._probdist_from_knn(level, k, perp)
 
         # drop zero values (reference: :566-581)
-        keep = pd.values != 0
-        idx = np.where(keep, pd.indices, -1)
-        val = np.where(keep, pd.values, 0.0).astype(np.float32)
-        pd = _compact(idx, val, pd.num_cols)
+        pd = drop_zero_entries(pd)
         self.prob_dists[level] = pd
         self.stats.avg_num_neighbors.append(float(pd.row_nnz().mean()))
 
@@ -323,14 +323,28 @@ class LevelSimilarities:
         from ..ops.distributions import (gaussian_rows_bucketed,
                                          smooth_knn_rows_bucketed)
         if scheme == NormalizationScheme.TSNE:
-            mask = pd.mask & (pd.values != 0)
-            p = gaussian_rows_bucketed(pd.values, mask, perp,
-                                       ignore_first=False)
-            pd = SparseRows(pd.indices, p, pd.num_cols)
+            if pd.device_only:
+                import jax.numpy as jnp
+                idx_d, val_d = pd.device()
+                mask = (idx_d >= 0) & (val_d != 0)
+                p = gaussian_rows_bucketed(val_d, mask, perp,
+                                           ignore_first=False)
+                pd = SparseRows(idx_d, p, pd.num_cols)
+            else:
+                mask = pd.mask & (pd.values != 0)
+                p = gaussian_rows_bucketed(pd.values, mask, perp,
+                                           ignore_first=False)
+                pd = SparseRows(pd.indices, p, pd.num_cols)
         elif scheme == NormalizationScheme.UMAP:
-            mask = pd.mask & (pd.values != 0)
-            p = smooth_knn_rows_bucketed(pd.values, mask)
-            pd = SparseRows(pd.indices, p, pd.num_cols)
+            if pd.device_only:
+                idx_d, val_d = pd.device()
+                mask = (idx_d >= 0) & (val_d != 0)
+                p = smooth_knn_rows_bucketed(val_d, mask)
+                pd = SparseRows(idx_d, p, pd.num_cols)
+            else:
+                mask = pd.mask & (pd.values != 0)
+                p = smooth_knn_rows_bucketed(pd.values, mask)
+                pd = SparseRows(pd.indices, p, pd.num_cols)
         else:
             Log.warn("LevelSimilarities: normalize_prob_dist should be TSNE "
                      "or UMAP; skipping normalization")

@@ -86,9 +86,18 @@ class NearestNeighbors:
 
     def compute_connected_components(self):
         """Reference: computeConnectedComponents (:318-409): strong CC on the
-        symmetric graph, weak CC on the raw kNN graph."""
-        if self.sym_graph is not None:
+        symmetric graph, weak CC on the raw kNN graph.
+
+        When the symmetrized graph is device-resident, the labels are
+        computed from the directed kNN graph instead: strong CC of the
+        undirected symmetrized union == weak CC of the directed graph
+        (same edge set viewed undirected), and the kNN arrays are already
+        on the host — this avoids downloading the much wider symmetrized
+        rows just for the union-find."""
+        if self.sym_graph is not None and not self.sym_graph.device_only:
             ncc, labels = strong_connected_components(self.sym_graph)
+        elif self.sym_graph is not None:
+            ncc, labels = weak_connected_components(self.knn_graph)
         else:
             ncc, labels = weak_connected_components(self.knn_graph)
         self.num_connected_components = ncc
@@ -107,14 +116,25 @@ class NearestNeighbors:
 
         base = (self.sym_graph if self.sym_graph is not None
                 else self.knn_graph.to_padded())
-        graph = PaddedGraph(base.indices.copy(), base.distances.copy(),
-                            base.counts.copy())
         if self.num_connected_components == 1:
             Log.info("NearestNeighbors::connectComponents: already one "
                      "component")
+            # no edges to insert: share the (immutable-on-device or
+            # freshly-built) base arrays instead of downloading a copy
+            if base.device_only:
+                idx_d, dist_d = base.device()
+                graph = PaddedGraph(idx_d, dist_d, base._cnt_dev
+                                    if base._cnt_dev is not None
+                                    else base.counts)
+            else:
+                graph = PaddedGraph(base.indices.copy(),
+                                    base.distances.copy(),
+                                    base.counts.copy())
             self.connected_graph = graph
             self._has_connected = True
             return graph
+        graph = PaddedGraph(base.indices.copy(), base.distances.copy(),
+                            base.counts.copy())
 
         labels = self.connected_components
         ncc = self.num_connected_components

@@ -348,27 +348,29 @@ class TsneComputation:
         y[:n] = self._initial_embedding
 
         # P normalized so the whole matrix sums to 1 (HDILib joint-P
-        # convention); rows arrive summing to ~1 each after symmetrization
-        total = self._p.row_sums().sum()
-        pv = (self._p.values / max(total, 1e-12)).astype(np.float32)
+        # convention); rows arrive summing to ~1 each after symmetrization.
+        # Stays on device: a device-resident P from the pipeline is padded
+        # and normalized without a host round trip.
+        idx_d, val_d = self._p.device()
+        total = float(jnp.sum(jnp.where(idx_d >= 0, val_d, 0.0)))
+        pv = val_d / max(total, 1e-12)
         from ..ops.bucketing import next_pow2
         wpad = next_pow2(self._p.width)
-        p_idx = np.full((npad, wpad), -1, dtype=np.int32)
-        p_val = np.zeros((npad, wpad), dtype=np.float32)
-        p_idx[:n, :self._p.width] = self._p.indices
-        p_val[:n, :self._p.width] = pv
+        w0 = self._p.width
+        p_idx = jnp.pad(idx_d, ((0, npad - n), (0, wpad - w0)),
+                        constant_values=-1)
+        p_val = jnp.pad(pv, ((0, npad - n), (0, wpad - w0)),
+                        constant_values=0.0)
 
-        self._p_idx = jnp.asarray(p_idx)
-        self._p_val = jnp.asarray(p_val)
+        self._p_idx = p_idx
+        self._p_val = p_val
         self._p_dense = None
         if use_dense:
-            rows = np.broadcast_to(np.arange(npad, dtype=np.int32)[:, None],
-                                   p_idx.shape)
-            safe_idx = jnp.asarray(np.where(p_idx >= 0, p_idx, rows))
-            masked_val = jnp.asarray(np.where(p_idx >= 0, p_val, 0.0))
+            rows = jax.lax.broadcasted_iota(jnp.int32, p_idx.shape, 0)
+            safe_idx = jnp.where(p_idx >= 0, p_idx, rows)
+            masked_val = jnp.where(p_idx >= 0, p_val, 0.0)
             self._p_dense = (jnp.zeros((npad, npad), jnp.float32)
-                             .at[jnp.asarray(rows), safe_idx]
-                             .add(masked_val))
+                             .at[rows, safe_idx].add(masked_val))
         self._state = TsneState(
             embedding=jnp.asarray(y),
             velocity=jnp.zeros((npad, 2), jnp.float32),

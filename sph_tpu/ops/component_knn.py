@@ -119,35 +119,40 @@ def _walks_knn(indices: jax.Array, values: jax.Array, n_valid, k: int,
         return dense.at[rr2, safe].add(v)
 
     if single:
-        # sim = max(w[a, b], w[b, a]): per row block, densify the block's
-        # rows and gather the transposed entries via sparse lookups
-        big = jnp.int32(2**31 - 1)
-        idx_sorted = jnp.where(indices < 0, big, indices)
-
+        # sim = max(w[a, b], w[b, a]): blocked densify of both the row and
+        # column blocks — the transposed entries come from slicing the
+        # column block's dense rows, not from per-element sparse lookups
+        # (vmapped searchsorted lowers to lane gathers, the TPU slow path;
+        # see sparse._bhattacharyya_pairs_device)
         def row_block(rb):
             rows_dense = densify(rb, False)        # w[a, :] for the block
-            row_ids = (jax.lax.broadcasted_iota(jnp.int32,
-                                                (block, cpad), 0)
+            row_ids = (jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
                        + rb * block)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (block, cpad), 1)
 
-            # w[b, a] for every (a in block, b in all): lookup column a in
-            # row b of the sparse structure
-            def lookup_col(b_row_idx, b_row_val, a_ids):
-                pos = jnp.clip(jnp.searchsorted(b_row_idx, a_ids), 0,
-                               r - 1)
-                return jnp.where(b_row_idx[pos] == a_ids,
-                                 b_row_val[pos], 0.0)
+            def col_step(carry, cb):
+                top_d, top_i = carry
+                cols_dense = densify(cb, False)    # w[b, :] for the block
+                wab = jax.lax.dynamic_slice_in_dim(rows_dense, cb * block,
+                                                   block, axis=1)
+                wba = jax.lax.dynamic_slice_in_dim(cols_dense, rb * block,
+                                                   block, axis=1)
+                sim = jnp.maximum(wab, wba.T)
+                ids = (jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+                       + cb * block)
+                dist = 1.0 - sim
+                dist = jnp.where(ids == row_ids, 0.0, dist)
+                dist = jnp.where(ids >= n_valid, jnp.inf, dist)
+                merged_d = jnp.concatenate([top_d, dist], axis=1)
+                merged_i = jnp.concatenate([top_i, ids], axis=1)
+                neg, sel = jax.lax.top_k(-merged_d, k)
+                rr3 = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
+                return (-neg, merged_i[rr3, sel]), None
 
-            wba = jax.vmap(lookup_col, in_axes=(0, 0, None))(
-                idx_sorted, jnp.where(indices < 0, 0.0, values),
-                jnp.arange(block, dtype=jnp.int32) + rb * block)  # [C, B]
-            sim = jnp.maximum(rows_dense, wba.T)
-            dist = 1.0 - sim
-            dist = jnp.where(cols == row_ids, 0.0, dist)
-            dist = jnp.where(cols >= n_valid, jnp.inf, dist)
-            neg, sel = jax.lax.top_k(-dist, k)
-            return -neg, sel
+            init = (jnp.full((block, k), jnp.inf, jnp.float32),
+                    jnp.full((block, k), -1, jnp.int32))
+            (top_d, top_i), _ = jax.lax.scan(col_step, init,
+                                             jnp.arange(num_blocks))
+            return top_d, top_i
 
         dists, ids = jax.lax.map(row_block, jnp.arange(num_blocks))
         return ids.reshape(cpad, k), dists.reshape(cpad, k)

@@ -266,31 +266,51 @@ def merge_by_parents_device(indices, values,
     return oi, ov, truncated
 
 
-def symmetrize_graph_device(indices: np.ndarray, distances: np.ndarray,
-                            max_width: int):
-    """Device symmetrize with doubling-width retry.
+@jax.jit
+def _sym_width_bound(indices: jax.Array) -> jax.Array:
+    """Upper bound on the symmetrized row width: out-degree + in-degree + 1
+    (self slot).  Duplicate undirected edges are double-counted, so the
+    bound always covers the deduped need — one cheap program instead of a
+    doubling-width retry."""
+    n, k = indices.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, k), 0)
+    valid = (indices >= 0) & (indices != rows)
+    out_deg = jnp.sum(valid, axis=1)
+    in_deg = jnp.zeros(n, jnp.int32).at[
+        jnp.where(valid, indices, n)].add(1, mode="drop")
+    return jnp.max(out_deg + in_deg) + 1
 
-    Returns (out_idx [N, w] i32, out_dist [N, w] f32, counts [N] i32) with
-    w <= max_width (0 = uncapped), or None on malformed input.
+
+def symmetrize_graph_device(indices, distances, max_width: int):
+    """Device symmetrize; width chosen from a device-side degree bound so
+    the sort pipeline runs exactly once.
+
+    indices/distances may be numpy or device arrays.  Returns
+    (out_idx [N, w] i32, out_dist [N, w] f32, counts [N] i32) as DEVICE
+    arrays with w <= max_width (0 = uncapped), or None on malformed input.
     """
     n, k = indices.shape
     if n == 0:
         return None
-    if indices.size and int(indices.max()) >= n:
-        return None
+    if isinstance(indices, jax.Array):
+        idx_d = indices
+        dist_d = distances
+        if idx_d.size and int(jnp.max(idx_d)) >= n:
+            return None
+    else:
+        if indices.size and int(indices.max()) >= n:
+            return None
+        idx_d = jnp.asarray(np.ascontiguousarray(indices, np.int32))
+        dist_d = jnp.asarray(np.ascontiguousarray(distances, np.float32))
+
     cap = max_width if max_width > 0 else 1 << 30
-    width = min(_next_pow2(2 * k + 1), _next_pow2(cap))
+    bound = int(_sym_width_bound(idx_d))
+    width = max(min(_next_pow2(bound), _next_pow2(cap), _next_pow2(n)), 2)
 
-    idx_d = jnp.asarray(np.ascontiguousarray(indices, np.int32))
-    dist_d = jnp.asarray(np.ascontiguousarray(distances, np.float32))
-
-    while True:
-        oi, od, counts = _symmetrize_device(idx_d, dist_d, width)
-        need = int(counts.max())
-        if need <= width or width >= cap:
-            break
-        width = min(_next_pow2(need), _next_pow2(cap))
-
-    w = max(min(need, cap, width), 1)
-    counts_np = np.minimum(np.asarray(counts), w).astype(np.int32)
-    return (np.asarray(oi[:, :w]), np.asarray(od[:, :w]), counts_np)
+    oi, od, counts = _symmetrize_device(idx_d, dist_d, width)
+    need = int(counts.max())
+    w = max(min(_next_pow2(max(need, 1)), width), 1)
+    if w > cap:
+        w = cap
+    counts_d = jnp.minimum(counts, w)
+    return oi[:, :w], od[:, :w], counts_d

@@ -227,16 +227,30 @@ def smooth_knn_distributions(values: jax.Array, mask: jax.Array,
     return sims
 
 
-def gaussian_rows_bucketed(values: np.ndarray, mask: np.ndarray,
-                           perplexity: float,
-                           ignore_first: bool) -> np.ndarray:
-    """Shape-bucketed host wrapper around gaussian_row_distributions: pads
+def _pad_rows_dev(arr: jax.Array, npad: int, wpad: int, fill) -> jax.Array:
+    n, k = arr.shape
+    if (npad, wpad) == (n, k):
+        return arr
+    return jnp.pad(arr, ((0, npad - n), (0, wpad - k)),
+                   constant_values=fill)
+
+
+def gaussian_rows_bucketed(values, mask, perplexity: float,
+                           ignore_first: bool):
+    """Shape-bucketed wrapper around gaussian_row_distributions: pads
     rows/width to canonical sizes so every hierarchy level reuses one
-    compiled program (see ops/bucketing.py)."""
+    compiled program (see ops/bucketing.py).  Device arrays in -> device
+    array out (padding stays on device); numpy in -> numpy out."""
     from .bucketing import bucket_rows, next_pow2, pad_axis
     n, k = values.shape
     npad = bucket_rows(n)
     wpad = next_pow2(k)
+    if isinstance(values, jax.Array):
+        v = _pad_rows_dev(values, npad, wpad, 0.0)
+        m = _pad_rows_dev(mask, npad, wpad, False)
+        out = gaussian_row_distributions(v, m, jnp.float32(perplexity),
+                                         ignore_first=ignore_first)
+        return out[:n, :k]
     v = pad_axis(pad_axis(np.asarray(values, np.float32), 0, npad, 0.0),
                  1, wpad, 0.0)
     m = pad_axis(pad_axis(np.asarray(mask, bool), 0, npad, False),
@@ -247,13 +261,17 @@ def gaussian_rows_bucketed(values: np.ndarray, mask: np.ndarray,
     return np.asarray(out)[:n, :k]
 
 
-def smooth_knn_rows_bucketed(values: np.ndarray,
-                             mask: np.ndarray) -> np.ndarray:
-    """Bucketed wrapper around smooth_knn_distributions."""
+def smooth_knn_rows_bucketed(values, mask):
+    """Bucketed wrapper around smooth_knn_distributions (device arrays in ->
+    device array out, like gaussian_rows_bucketed)."""
     from .bucketing import bucket_rows, next_pow2, pad_axis
     n, k = values.shape
     npad = bucket_rows(n)
     wpad = next_pow2(k)
+    if isinstance(values, jax.Array):
+        v = _pad_rows_dev(values, npad, wpad, 0.0)
+        m = _pad_rows_dev(mask, npad, wpad, False)
+        return smooth_knn_distributions(v, m)[:n, :k]
     v = pad_axis(pad_axis(np.asarray(values, np.float32), 0, npad, 0.0),
                  1, wpad, 0.0)
     m = pad_axis(pad_axis(np.asarray(mask, bool), 0, npad, False),
@@ -262,11 +280,10 @@ def smooth_knn_rows_bucketed(values: np.ndarray,
     return np.asarray(out)[:n, :k]
 
 
-def distance_rows_to_probabilities(values: np.ndarray, mask: np.ndarray,
+def distance_rows_to_probabilities(values, mask,
                                    scheme, perplexity: float = -1.0,
                                    ignore_first: bool = True,
-                                   umap_row_norm: bool = False
-                                   ) -> np.ndarray:
+                                   umap_row_norm: bool = False):
     """The single scheme dispatcher used by every distance-rows -> prob-rows
     site (reference: normalizeKnnDistances, GraphNormalization.hpp:36-53).
 
@@ -274,21 +291,38 @@ def distance_rows_to_probabilities(values: np.ndarray, mask: np.ndarray,
     memberships (row-normalized when umap_row_norm, e.g. when feeding the
     random-walk sampler); any other scheme falls back to Gaussian with a
     warning, matching the reference's default branch.
+
+    Device arrays in -> device array out (residency-preserving); numpy in ->
+    numpy out.
     """
     from ..settings import NormalizationScheme
 
-    mask = np.asarray(mask, bool)
+    on_device = isinstance(values, jax.Array)
+    if not on_device:
+        mask = np.asarray(mask, bool)
     if scheme == NormalizationScheme.TSNE:
         return gaussian_rows_bucketed(values, mask, perplexity,
                                       ignore_first=ignore_first)
-    m2 = mask.copy()
-    if ignore_first:
-        m2[:, 0] = False
+    if on_device:
+        m2 = mask
+        if ignore_first:
+            n, k = mask.shape
+            col0 = jax.lax.broadcasted_iota(jnp.int32, (n, k), 1) == 0
+            m2 = mask & ~col0
+    else:
+        m2 = mask.copy()
+        if ignore_first:
+            m2[:, 0] = False
     if scheme == NormalizationScheme.LINEAR:
-        p = np.asarray(linear_row_distributions(
-            jnp.asarray(np.asarray(values, np.float32)), jnp.asarray(m2)))
-        return p
+        p = linear_row_distributions(jnp.asarray(values), jnp.asarray(m2))
+        return p if on_device else np.asarray(p)
     if scheme == NormalizationScheme.UMAP:
+        if on_device:
+            p = smooth_knn_rows_bucketed(values, m2)
+            if umap_row_norm:
+                s = jnp.sum(p, axis=1, keepdims=True)
+                p = jnp.where(s > 0, p / jnp.maximum(s, 1e-12), 0.0)
+            return p
         p = smooth_knn_rows_bucketed(np.asarray(values, np.float32), m2)
         if umap_row_norm:
             s = p.sum(axis=1, keepdims=True)

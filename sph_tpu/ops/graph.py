@@ -61,31 +61,89 @@ class KnnGraph:
                            np.full(n, k, dtype=np.int32))
 
 
-@dataclass
 class PaddedGraph:
     """Variable-k graph as padded arrays (reference Graph, Graph.hpp:155-273).
 
     Rows are sorted by distance with the self edge first; pads live at the end
     of each row (index PAD_INDEX, distance +inf).
+
+    Dual residency like ops.sparse.SparseRows: the constructor accepts numpy
+    or jax arrays; `.indices`/`.distances`/`.counts` download lazily (cached),
+    `.device()` uploads lazily (cached).  The symmetrized data-level graph is
+    ~100+ MB at Pines scale — on the tunneled-TPU topology keeping it on
+    device saves multi-second transfers per pipeline run.
     """
 
-    indices: np.ndarray    # [N, Kmax] int32, PAD_INDEX padded
-    distances: np.ndarray  # [N, Kmax] float32, PAD_DIST padded
-    counts: np.ndarray     # [N] int32, valid entries per row
+    __slots__ = ("_idx_np", "_dist_np", "_cnt_np", "_idx_dev", "_dist_dev",
+                 "_cnt_dev")
+
+    def __init__(self, indices, distances, counts):
+        import jax
+        if isinstance(indices, jax.Array):
+            self._idx_dev, self._idx_np = indices, None
+        else:
+            self._idx_np, self._idx_dev = np.asarray(indices), None
+        if isinstance(distances, jax.Array):
+            self._dist_dev, self._dist_np = distances, None
+        else:
+            self._dist_np, self._dist_dev = np.asarray(distances), None
+        if isinstance(counts, jax.Array):
+            self._cnt_dev, self._cnt_np = counts, None
+        else:
+            self._cnt_np, self._cnt_dev = np.asarray(counts), None
+
+    @property
+    def indices(self) -> np.ndarray:    # [N, Kmax] int32, PAD_INDEX padded
+        if self._idx_np is None:
+            self._idx_np = np.asarray(self._idx_dev)
+        return self._idx_np
+
+    @property
+    def distances(self) -> np.ndarray:  # [N, Kmax] f32, PAD_DIST padded
+        if self._dist_np is None:
+            self._dist_np = np.asarray(self._dist_dev)
+        return self._dist_np
+
+    @property
+    def counts(self) -> np.ndarray:     # [N] int32, valid entries per row
+        if self._cnt_np is None:
+            self._cnt_np = np.asarray(self._cnt_dev)
+        return self._cnt_np
+
+    @property
+    def device_only(self) -> bool:
+        return self._idx_dev is not None and self._idx_np is None
+
+    def device(self):
+        """(indices, distances) device copies; uploaded once and cached."""
+        import jax.numpy as jnp
+        if self._idx_dev is None:
+            self._idx_dev = jnp.asarray(self._idx_np)
+        if self._dist_dev is None:
+            self._dist_dev = jnp.asarray(self._dist_np)
+        return self._idx_dev, self._dist_dev
+
+    @property
+    def shape(self) -> tuple:
+        src = self._idx_np if self._idx_np is not None else self._idx_dev
+        return src.shape
 
     @property
     def num_points(self) -> int:
-        return self.indices.shape[0]
+        return self.shape[0]
 
     @property
     def max_k(self) -> int:
-        return self.indices.shape[1]
+        return self.shape[1]
 
     @property
     def mask(self) -> np.ndarray:
         return self.indices >= 0
 
     def num_edges(self) -> int:
+        if self.device_only and self._cnt_dev is not None:
+            import jax.numpy as jnp
+            return int(jnp.sum(self._cnt_dev))
         return int(self.counts.sum())
 
     def is_valid(self) -> bool:
@@ -189,15 +247,21 @@ def symmetrize_graph(graph: KnnGraph | PaddedGraph,
     if use_native:
         from .device_merge import symmetrize_graph_device, \
             use_device_restruct
-        idx_in = np.where(graph.mask, graph.indices, -1).astype(np.int32)
-        dist_in = np.where(graph.mask, graph.distances,
-                           0.0).astype(np.float32)
         cap = int(os.environ.get("SPH_SYM_WIDTH_CAP", "1024"))
         if use_device_restruct():
-            out = symmetrize_graph_device(idx_in, dist_in, max(cap, 0))
+            # stays device-resident: output feeds the device probdist /
+            # walk chain without a host round trip
+            idx_d, dist_d = graph.device()
+            import jax.numpy as jnp
+            idx_d = jnp.where(idx_d >= 0, idx_d, -1)
+            dist_d = jnp.where(idx_d >= 0, dist_d, 0.0)
+            out = symmetrize_graph_device(idx_d, dist_d, max(cap, 0))
             if out is not None:
                 oi, od, oc = out
                 return _cap_width(PaddedGraph(oi, od, oc))
+        idx_in = np.where(graph.mask, graph.indices, -1).astype(np.int32)
+        dist_in = np.where(graph.mask, graph.distances,
+                           0.0).astype(np.float32)
         from .. import native
         out = native.symmetrize(idx_in, dist_in, max_width=max(cap, 0))
         if out is not None:
@@ -270,6 +334,13 @@ def _cap_width(g: PaddedGraph) -> PaddedGraph:
     from ..utils.logging import Log
     Log.info("symmetrize_graph: capping row width %d -> %d (hub nodes keep "
              "their closest edges)", g.max_k, cap)
+    if g.device_only:
+        import jax.numpy as jnp
+        idx_d, dist_d = g.device()
+        return PaddedGraph(idx_d[:, :cap], dist_d[:, :cap],
+                           jnp.minimum(g._cnt_dev, cap)
+                           if g._cnt_dev is not None
+                           else np.minimum(g.counts, cap).astype(np.int32))
     return PaddedGraph(np.ascontiguousarray(g.indices[:, :cap]),
                        np.ascontiguousarray(g.distances[:, :cap]),
                        np.minimum(g.counts, cap).astype(np.int32))

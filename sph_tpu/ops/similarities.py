@@ -33,16 +33,14 @@ _BIG_I32 = np.int32(2**31 - 1)
 
 @jax.jit
 def _lookup_pairs(indices, values, rows, cols):
-    """values[rows[e], cols[e]] for sparse rows sorted by column index."""
+    """values[rows[e], cols[e]] for sparse rows.  One [E, R] lane-parallel
+    compare + masked sum — vmapped binary search lowers to per-element lane
+    gathers, which TPUs execute orders of magnitude slower (see
+    _bhattacharyya_pairs_device)."""
     ir = indices[rows]
     vr = values[rows]
-    ir_s = jnp.where(ir < 0, _BIG_I32, ir)
-
-    def one(ir_r, vr_r, c):
-        pos = jnp.clip(jnp.searchsorted(ir_r, c), 0, ir_r.shape[0] - 1)
-        return jnp.where(ir_r[pos] == c, vr_r[pos], 0.0)
-
-    return jax.vmap(one)(ir_s, vr, cols)
+    m = (ir == cols[:, None]) & (ir >= 0)
+    return jnp.sum(jnp.where(m, vr, 0.0), axis=1)
 
 
 def _pair_chunks(e: int, width: int):
@@ -125,17 +123,19 @@ def build_union_neighborhoods(knn_indices: np.ndarray,
 
 @jax.jit
 def _overlap_pairs(indices, counts, rows_a, rows_b):
-    """|A intersect B| via merged sorted-list membership, vectorized."""
+    """|A intersect B| via a lane-local sorted merge: concatenate both id
+    lists, sort along the lane axis, count adjacent equal ids (ids are
+    unique per list, so every equal-adjacent pair is a cross-list match).
+    Binary-search membership lowers to per-element lane gathers — the slow
+    path on TPU (see _bhattacharyya_pairs_device)."""
     ia = indices[rows_a]
     ib = indices[rows_b]
     ia_s = jnp.where(ia < 0, _BIG_I32, ia)
     ib_s = jnp.where(ib < 0, _BIG_I32, ib)
-
-    def one(a_r, b_r):
-        pos = jnp.clip(jnp.searchsorted(b_r, a_r), 0, b_r.shape[0] - 1)
-        return jnp.sum((b_r[pos] == a_r) & (a_r < _BIG_I32))
-
-    inter = jax.vmap(one)(ia_s, ib_s)
+    both = jnp.concatenate([ia_s, ib_s], axis=1)
+    (si,) = jax.lax.sort((both,), num_keys=1, dimension=1, is_stable=False)
+    eq = (si[:, 1:] == si[:, :-1]) & (si[:, 1:] < _BIG_I32)
+    inter = jnp.sum(eq, axis=1)
     ca = counts[rows_a]
     cb = counts[rows_b]
     msize = jnp.minimum(ca, cb)

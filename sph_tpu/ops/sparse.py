@@ -566,28 +566,34 @@ def bhattacharyya_pairs(sr: SparseRows, rows_a: np.ndarray,
 
 @jax.jit
 def _bhattacharyya_pairs_device(indices, values, rows_a, rows_b):
-    """Sparse-sparse dot of sqrt values via double-binary-search merge of the
-    two sorted index lists, vectorized over pairs."""
+    """Sparse-sparse dot of sqrt values per pair via a lane-local sorted
+    merge: concatenate both rows' (index, value) entries, sort along the
+    lane axis, and multiply adjacent equal indices.
+
+    The obvious vmapped binary search (searchsorted per entry) lowers to
+    per-element lane gathers, which TPUs execute ~200x slower than this
+    sort (measured 17.9 s vs 0.09 s at 131k pairs x width 512).  Source
+    tagging rides the sign bit of the value — b-side values are negated,
+    so a cross-source match is the only way to get a positive
+    -v[i+1]*v[i] product (rows have unique indices, so equal-index runs
+    have length <= 2 and are always cross-source).
+    """
     ia = indices[rows_a]          # [E, R]
     va = jnp.sqrt(jnp.maximum(values[rows_a], 0.0))
     ib = indices[rows_b]
     vb = jnp.sqrt(jnp.maximum(values[rows_b], 0.0))
 
-    # for each entry of a, find matching column in b (rows sorted by index;
-    # pads are -1 at... pads sorted to END as int32 max in compact — but
-    # stored as -1).  Replace pads with int max for searchsorted.
     big = jnp.int32(2**31 - 1)
     ia_s = jnp.where(ia < 0, big, ia)
     ib_s = jnp.where(ib < 0, big, ib)
 
-    def pair_dot(ia_r, va_r, ib_r, vb_r):
-        pos = jnp.searchsorted(ib_r, ia_r)
-        pos = jnp.clip(pos, 0, ib_r.shape[0] - 1)
-        match = ib_r[pos] == ia_r
-        contrib = jnp.where(match & (ia_r < big), va_r * vb_r[pos], 0.0)
-        return jnp.sum(contrib)
-
-    return jax.vmap(pair_dot)(ia_s, va, ib_s, vb)
+    idx2 = jnp.concatenate([ia_s, ib_s], axis=1)          # [E, 2R]
+    val2 = jnp.concatenate([va, -vb], axis=1)
+    si, sv = jax.lax.sort((idx2, val2), num_keys=1, dimension=1,
+                          is_stable=False)
+    eq = (si[:, 1:] == si[:, :-1]) & (si[:, 1:] < big)
+    prod = jnp.where(eq, -sv[:, 1:] * sv[:, :-1], 0.0)
+    return jnp.sum(jnp.maximum(prod, 0.0), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block"))
@@ -681,20 +687,130 @@ def pairwise_similarities(sr: SparseRows, k: int,
     top_i, top_d = _pairwise_sim_device(
         idx_d, val_d, jnp.asarray(scale),
         jnp.int32(n), k, block_eff, float(prune_val))
-    top_i = np.asarray(top_i[:n])
-    top_d = np.asarray(top_d[:n])
 
     # drop +inf (fewer than k similar rows), sort by column index, normalize
-    val = np.where(np.isfinite(top_d), top_d, 0.0).astype(np.float32)
-    idx = np.where(np.isfinite(top_d), top_i, PAD).astype(np.int32)
-    out = _compact(idx, val, n)
-    return normalize_rows(out)
+    # — all on device; the result feeds device gaussian rows / symmetrize
+    oi, ov = _pairwise_post_dev(top_i, top_d)
+    return SparseRows(oi[:n], ov[:n], n)
+
+
+@jax.jit
+def _pairwise_post_dev(top_i: jax.Array, top_d: jax.Array):
+    finite = jnp.isfinite(top_d)
+    val = jnp.where(finite, top_d, 0.0)
+    idx = jnp.where(finite, top_i, PAD)
+    oi, ov = _compact_dev(idx, val)
+    return oi, _normalize_rows_dev(oi, ov)
+
+
+def drop_zero_entries(sr: SparseRows) -> SparseRows:
+    """Remove zero-valued entries, keeping ascending-column order (the final
+    cleanup of computeProbDistOnLevel, LevelSimilarities.cpp:566-581)."""
+    if sr.device_only:
+        idx, val = sr.device()
+        keep = val != 0
+        oi, ov = _compact_dev(jnp.where(keep, idx, PAD),
+                              jnp.where(keep, val, 0.0))
+        return SparseRows(oi, ov, sr.num_cols)
+    keep = sr.values != 0
+    idx = np.where(keep, sr.indices, PAD)
+    val = np.where(keep, sr.values, 0.0).astype(np.float32)
+    return _compact(idx, val, sr.num_cols)
+
+
+def _run_starts_1d(rows: jax.Array) -> jax.Array:
+    """For each element of a sorted [E] row array, the position where its
+    run began (same helper as device_merge._run_starts)."""
+    e = rows.shape[0]
+    iota = jnp.arange(e, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool), rows[1:] != rows[:-1]])
+    return jax.lax.cummax(jnp.where(first, iota, jnp.int32(-1)))
+
+
+@functools.partial(jax.jit, static_argnames=("width", "mode"))
+def _symmetrize_p_dev(indices: jax.Array, values: jax.Array, width: int,
+                      mode: str):
+    """Device symmetrization of a square probability matrix on the union
+    support: TSNE (p + p^T)/2 or UMAP fuzzy union p + p^T - p*p^T.
+
+    Both edge directions are flattened, 2-key sorted by (row, col), duplicate
+    (row, col) runs (length <= 2) are segment-combined, and unique entries
+    scattered into padded [N, width] rows in ascending-column order.
+    Returns (out_idx, out_val, counts [N] — pre-truncation widths).
+    """
+    n, r = indices.shape
+    e = 2 * n * r
+    sentinel = jnp.int32(n)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, r), 0)
+    valid = (indices >= 0) & (values != 0.0)
+    rf = jnp.where(valid, rows, sentinel).reshape(-1)
+    cf = jnp.where(valid, indices, sentinel).reshape(-1)
+    v = jnp.where(valid, values, 0.0).reshape(-1)
+
+    r0 = jnp.concatenate([rf, cf])
+    c0 = jnp.concatenate([cf, rf])
+    v0 = jnp.concatenate([v, v])
+    r1, c1, v1 = jax.lax.sort((r0, c0, v0), num_keys=2, is_stable=True)
+
+    valid1 = r1 < sentinel
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         (r1[1:] != r1[:-1]) | (c1[1:] != c1[:-1])]) & valid1
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg_sc = jnp.where(valid1, seg, e)               # invalid -> dropped
+
+    sum_v = jnp.zeros(e, jnp.float32).at[seg_sc].add(v1, mode="drop")
+    if mode == "tsne":
+        out_v = sum_v * 0.5
+    else:
+        # fuzzy union: subtract the product for length-2 runs (both
+        # directions present); single-direction entries keep p + 0 - 0
+        nxt_same = jnp.concatenate(
+            [(r1[1:] == r1[:-1]) & (c1[1:] == c1[:-1]),
+             jnp.zeros((1,), bool)])
+        pair = first & nxt_same
+        v_next = jnp.concatenate([v1[1:], jnp.zeros((1,), jnp.float32)])
+        prod = jnp.where(pair, v1 * v_next, 0.0)
+        out_v = sum_v - jnp.zeros(e, jnp.float32).at[seg_sc].add(
+            prod, mode="drop")
+
+    row_u = jnp.full(e, sentinel, jnp.int32).at[seg_sc].set(r1, mode="drop")
+    col_u = jnp.zeros(e, jnp.int32).at[seg_sc].set(c1, mode="drop")
+
+    iota = jnp.arange(e, dtype=jnp.int32)
+    row_ok = row_u < sentinel
+    slot = iota - _run_starts_1d(row_u)
+    counts = jnp.zeros(n, jnp.int32).at[row_u].add(
+        row_ok.astype(jnp.int32), mode="drop")
+    slot_sc = jnp.where(row_ok, slot, jnp.int32(width))  # overflow -> drop
+    out_idx = jnp.full((n, width), PAD, jnp.int32).at[row_u, slot_sc].set(
+        col_u, mode="drop")
+    out_val = jnp.zeros((n, width), jnp.float32).at[row_u, slot_sc].set(
+        out_v, mode="drop")
+    return out_idx, out_val, counts
+
+
+def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
+    """Width-retry wrapper; returns a device-resident SparseRows at a
+    power-of-two width."""
+    from .bucketing import next_pow2
+    idx_d, val_d = sr.device()
+    n = sr.num_rows
+    width = next_pow2(min(2 * sr.width, max(n, 1)))
+    while True:
+        oi, ov, counts = _symmetrize_p_dev(idx_d, val_d, width, mode)
+        need = int(counts.max()) if n else 0
+        if need <= width or width >= n:
+            break
+        width = next_pow2(need)
+    return SparseRows(oi, ov, sr.num_cols)
 
 
 def symmetrize_tsne(sr: SparseRows) -> SparseRows:
     """p_sym = (p + p^T) / 2 on the union support (reference: symmetrizeTSNE,
     HDILibHelper.hpp:260-280)."""
-    import scipy.sparse as sp
+    if sr.device_only and sr.num_cols == sr.num_rows:
+        return _symmetrize_p_device_dispatch(sr, "tsne")
     m = _to_scipy(sr)
     s = (m + m.T) * 0.5
     return _from_scipy(s.tocsr(), sr.num_cols)
@@ -703,7 +819,8 @@ def symmetrize_tsne(sr: SparseRows) -> SparseRows:
 def symmetrize_umap(sr: SparseRows) -> SparseRows:
     """Fuzzy union p + p^T - p*p^T (elementwise; reference: symmetrizeUMAP,
     HDILibHelper.hpp:282-302)."""
-    import scipy.sparse as sp
+    if sr.device_only and sr.num_cols == sr.num_rows:
+        return _symmetrize_p_device_dispatch(sr, "umap")
     m = _to_scipy(sr)
     prod = m.multiply(m.T)
     s = m + m.T - prod
