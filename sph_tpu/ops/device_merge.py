@@ -125,11 +125,13 @@ def _merge_device(indices, values, parents, m_pad: int, width: int,
     out_idx = jnp.full((m_pad, width), -1, jnp.int32).at[rp2, slot_sc].set(
         cp2, mode="drop")
 
-    # restore ascending-column order within each row, pads last
+    # restore ascending-column order within each row, pads last — one
+    # multi-operand lane sort (argsort + take_along_axis would lower to
+    # per-element lane gathers, the TPU slow path)
     colkey = jnp.where(out_idx < 0, _I32_MAX, out_idx)
-    order = jnp.argsort(colkey, axis=1, stable=True)
-    out_idx = jnp.take_along_axis(out_idx, order, axis=1)
-    out_val = jnp.take_along_axis(out_val, order, axis=1)
+    _, out_idx, out_val = jax.lax.sort((colkey, out_idx, out_val),
+                                       num_keys=1, dimension=1,
+                                       is_stable=True)
     return out_idx, out_val, counts_full
 
 

@@ -64,11 +64,11 @@ def gaussian_row_distributions(values: jax.Array, mask: jax.Array,
     big = jnp.float32(np.finfo(np.float32).max)
 
     def cond(state):
-        it, beta, lo, hi, found = state[:5]
-        return jnp.logical_and(it < max_iter, ~jnp.all(found))
+        it, beta, lo, hi, found, done = state[:6]
+        return jnp.logical_and(it < max_iter, ~jnp.all(done))
 
     def body(state):
-        it, beta, lo, hi, found, _ = state
+        it, beta, lo, hi, found, done = state
         # unnormalized kernel row
         p = jnp.where(eff_mask, jnp.exp(-beta[:, None] * vals), 0.0)
         s = jnp.sum(p, axis=1) + jnp.float32(1e-38)  # f32-safe tiny
@@ -85,18 +85,32 @@ def gaussian_row_distributions(values: jax.Array, mask: jax.Array,
         beta_dn = jnp.where(jnp.abs(lo) >= big, beta / 2.0,
                             (beta + lo) / 2.0)
         new_beta = jnp.where(go_up, beta_up, beta_dn)
-        new_beta = jnp.where(new_found, beta, new_beta)
-        new_lo = jnp.where(new_found, lo, new_lo)
-        new_hi = jnp.where(new_found, hi, new_hi)
-        return (it + 1, new_beta, new_lo, new_hi, new_found, beta)
+        # f32 fixpoint: the update is a deterministic function of
+        # (beta, lo, hi), so an unchanged state can never change again —
+        # stop iterating the row (`done`) WITHOUT marking it converged
+        # (`found` keeps the reference's uniform-fallback semantics for
+        # rows that never meet the tolerance).  Output is bit-identical
+        # to iterating to max_iter; the whole-batch iteration count drops
+        # from "every degenerate row pins the batch at max_iter" to
+        # "until the last row converges or freezes".
+        pinned = (new_beta == beta) & (new_lo == lo) & (new_hi == hi)
+        new_done = jnp.logical_or(done, jnp.logical_or(new_found, pinned))
+        # freeze on new_found exactly like the single-flag original (beta
+        # stays at the tolerance-achieving value); pinned rows continue
+        # formally but their updates are f32 no-ops either way
+        freeze = jnp.logical_or(new_found, done)
+        new_beta = jnp.where(freeze, beta, new_beta)
+        new_lo = jnp.where(freeze, lo, new_lo)
+        new_hi = jnp.where(freeze, hi, new_hi)
+        return (it + 1, new_beta, new_lo, new_hi, new_found, new_done)
 
     # empty / single-entry rows can never satisfy the entropy tolerance
-    # (their sum underflows to 0 -> NaN entropy); mark them found up front
+    # (their sum underflows to 0 -> NaN entropy); mark them done up front
     # so they don't pin the whole batch at max_iter
-    init_found = row_sizes <= 1
+    init_done = row_sizes <= 1
     init = (jnp.int32(0), jnp.ones(n, jnp.float32),
             jnp.full(n, -big), jnp.full(n, big),
-            init_found, jnp.ones(n, jnp.float32))
+            init_done, init_done)
     _, beta, _, _, found, _ = jax.lax.while_loop(cond, body, init)
     found = jnp.logical_and(found, row_sizes > 1)
 

@@ -104,11 +104,14 @@ def _knn_device(data: jax.Array, n_valid: jax.Array, k: int, metric: str,
             if approx_topk:
                 new_d, sel = jax.lax.approx_min_k(merged_d, k,
                                                   recall_target=0.99)
+                r = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
+                new_i = merged_i[r, sel]
             else:
-                neg_d, sel = jax.lax.top_k(-merged_d, k)
-                new_d = -neg_d
-            r = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
-            new_i = merged_i[r, sel]
+                # streaming bottom-k via value sort + slice (top_k +
+                # gather lowers to per-element lane gathers on TPU)
+                sd, si = jax.lax.sort((merged_d, merged_i), num_keys=1,
+                                      dimension=1, is_stable=True)
+                new_d, new_i = sd[:, :k], si[:, :k]
             return (new_d, new_i), None
 
         init = (jnp.full((row_block, k), jnp.inf, jnp.float32),

@@ -191,11 +191,13 @@ class SparseRows:
 
 @jax.jit
 def _compact_dev(idx: jax.Array, val: jax.Array):
+    # multi-operand lane sort: argsort + take_along_axis would lower to
+    # per-element lane gathers (the TPU slow path)
     big = jnp.int32(2**31 - 1)
     key = jnp.where(idx < 0, big, idx)
-    order = jnp.argsort(key, axis=1, stable=True)
-    return (jnp.take_along_axis(idx, order, axis=1),
-            jnp.take_along_axis(val, order, axis=1))
+    _, oi, ov = jax.lax.sort((key, idx, val), num_keys=1, dimension=1,
+                             is_stable=True)
+    return oi, ov
 
 
 @jax.jit
@@ -296,13 +298,15 @@ def _compact(indices: np.ndarray, values: np.ndarray, num_cols: int
 
 @functools.partial(jax.jit, static_argnames=("k", "largest"))
 def _topk_rows_dev(idx: jax.Array, val: jax.Array, k: int, largest: bool):
+    # value sort with payloads instead of top_k + take_along_axis (lane
+    # gathers); slicing the first k lanes afterwards is free
     v = jnp.where(idx >= 0, val, -jnp.inf if largest else jnp.inf)
-    top, sel = jax.lax.top_k(v if largest else -v, k)
-    top = top if largest else -top
-    ti = jnp.take_along_axis(idx, sel, axis=1)
-    tv = jnp.where(jnp.isfinite(top),
-                   jnp.take_along_axis(val, sel, axis=1), 0.0)
-    ti = jnp.where(tv == 0, PAD, ti)
+    key = -v if largest else v
+    ks, ti, tv = jax.lax.sort((key, idx, val), num_keys=1, dimension=1,
+                              is_stable=True)
+    keep = jnp.isfinite(ks[:, :k])
+    tv = jnp.where(keep, tv[:, :k], 0.0)
+    ti = jnp.where(tv == 0, PAD, ti[:, :k])
     return _compact_dev(ti, tv)
 
 
@@ -641,9 +645,11 @@ def _pairwise_sim_device(indices, values, row_scale, n_valid, k: int,
             dist = jnp.where(valid, -jnp.log(jnp.maximum(bc, 1e-38)), jnp.inf)
             merged_d = jnp.concatenate([top_d, dist], axis=1)
             merged_i = jnp.concatenate([top_i, ids], axis=1)
-            neg, sel = jax.lax.top_k(-merged_d, k)
-            rr = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
-            return (-neg, merged_i[rr, sel]), None
+            # streaming bottom-k via value sort + slice (top_k + gather
+            # would lower to per-element lane gathers)
+            sd, si = jax.lax.sort((merged_d, merged_i), num_keys=1,
+                                  dimension=1, is_stable=True)
+            return (sd[:, :k], si[:, :k]), None
 
         init = (jnp.full((block, k), jnp.inf, jnp.float32),
                 jnp.full((block, k), -1, jnp.int32))

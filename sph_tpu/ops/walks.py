@@ -167,23 +167,29 @@ def _accumulate(visited: jax.Array, num_walks: int, walk_length: int,
     wts = weights.reshape(l, c, w).transpose(1, 2, 0).reshape(c, w * l)
     cts = counts.reshape(l, c, w).transpose(1, 2, 0).reshape(c, w * l)
 
-    s = w * l
-    order = jnp.argsort(ids, axis=1)
-    rr = jnp.arange(c)[:, None]
-    ids_s = ids[rr, order]
-    wts_s = wts[rr, order]
-    cts_s = cts[rr, order]
+    # lane-local co-sort by node id — argsort + [rr, order] gathers and
+    # .at[rr, run_id].add scatters lower to per-element lane ops on TPU
+    # (the slow path, see sparse._bhattacharyya_pairs_device); the sorted
+    # layout lets segmented run sums come from cumsum + a cummax-propagated
+    # run base instead
+    ids_s, wts_s, cts_s = jax.lax.sort((ids, wts, cts), num_keys=1,
+                                       dimension=1, is_stable=False)
 
     new_run = jnp.concatenate(
         [jnp.ones((c, 1), bool), ids_s[:, 1:] != ids_s[:, :-1]], axis=1)
-    run_id = jnp.cumsum(new_run, axis=1) - 1        # [C, S] in [0, S)
+    run_end = jnp.concatenate(
+        [new_run[:, 1:], jnp.ones((c, 1), bool)], axis=1)
 
-    sum_w = jnp.zeros((c, s), jnp.float32).at[rr, run_id].add(wts_s)
-    sum_c = jnp.zeros((c, s), jnp.float32).at[rr, run_id].add(cts_s)
-    run_ids = jnp.full((c, s), PAD, jnp.int32).at[rr, run_id].max(ids_s)
-    num_runs = jnp.sum(new_run, axis=1)             # [C]
-    valid_run = (jax.lax.broadcasted_iota(jnp.int32, (c, s), 1)
-                 < num_runs[:, None])
+    def run_totals(x):
+        """Per-run sums of x (x >= 0), placed at each run's END position."""
+        cum = jnp.cumsum(x, axis=1)
+        base = jnp.where(new_run, cum - x, -jnp.inf)
+        base = jax.lax.cummax(base, axis=1)   # run-start base, propagated
+        return cum - base
+
+    sum_w = run_totals(wts_s)
+    sum_c = run_totals(cts_s)
+    valid_run = run_end
 
     if weighting == "first_visit":
         # average step of first visits, inverted to [0, 1]
@@ -198,12 +204,15 @@ def _accumulate(visited: jax.Array, num_walks: int, walk_length: int,
         val = sum_w
 
     val = jnp.where(valid_run, val, 0.0)
-    run_ids = jnp.where(valid_run & (val > 0), run_ids, PAD)
+    run_ids = jnp.where(valid_run & (val > 0), ids_s, PAD)
 
+    s = w * l
     if out_width < s:
-        top_v, sel = jax.lax.top_k(val, out_width)
-        top_i = run_ids[rr, sel]
-        return top_i, top_v
+        # top-k via a value sort with id payload: top_k + a [C, k] gather
+        # would reintroduce lane gathers
+        neg_v, top_i = jax.lax.sort((-val, run_ids), num_keys=1,
+                                    dimension=1, is_stable=True)
+        return top_i[:, :out_width], -neg_v[:, :out_width]
     return run_ids, val
 
 
@@ -226,10 +235,11 @@ def _postprocess(idx: jax.Array, val: jax.Array, prune_value: jax.Array,
 
     big = jnp.int32(2**31 - 1)
     key = jnp.where(valid, idx, big)
-    order = jnp.argsort(key, axis=1)
-    rr = jnp.arange(c)[:, None]
-    idx_s = jnp.where(valid, idx, -1)[rr, order]
-    val_s = jnp.where(valid, val, 0.0)[rr, order]
+    # multi-operand lane sort instead of argsort + [rr, order] gathers
+    # (per-element lane gathers are the TPU slow path)
+    _, idx_s, val_s = jax.lax.sort(
+        (key, jnp.where(valid, idx, -1), jnp.where(valid, val, 0.0)),
+        num_keys=1, dimension=1, is_stable=True)
 
     if do_normalize:
         s = jnp.sum(val_s, axis=1, keepdims=True)
