@@ -711,17 +711,33 @@ def _pairwise_post_dev(top_i: jax.Array, top_d: jax.Array):
 
 def drop_zero_entries(sr: SparseRows) -> SparseRows:
     """Remove zero-valued entries, keeping ascending-column order (the final
-    cleanup of computeProbDistOnLevel, LevelSimilarities.cpp:566-581)."""
+    cleanup of computeProbDistOnLevel, LevelSimilarities.cpp:566-581).
+
+    Also shrinks the stored width to the power-of-two cover of the widest
+    surviving row: the Gaussian kernel zeroes most far entries of wide
+    hub rows, and downstream symmetrize/t-SNE costs scale with the padded
+    width."""
     if sr.device_only:
         idx, val = sr.device()
         keep = val != 0
         oi, ov = _compact_dev(jnp.where(keep, idx, PAD),
                               jnp.where(keep, val, 0.0))
-        return SparseRows(oi, ov, sr.num_cols)
+        need = int(jnp.max(jnp.sum(oi >= 0, axis=1)))
+        from .bucketing import next_pow2
+        w = min(next_pow2(max(need, 1)), oi.shape[1])
+        return SparseRows(oi[:, :w], ov[:, :w], sr.num_cols)
     keep = sr.values != 0
     idx = np.where(keep, sr.indices, PAD)
     val = np.where(keep, sr.values, 0.0).astype(np.float32)
-    return _compact(idx, val, sr.num_cols)
+    out = _compact(idx, val, sr.num_cols)
+    need = int(out.row_nnz().max()) if out.num_rows else 1
+    from .bucketing import next_pow2
+    w = min(next_pow2(max(need, 1)), out.width)
+    if w < out.width:
+        out = SparseRows(np.ascontiguousarray(out.indices[:, :w]),
+                         np.ascontiguousarray(out.values[:, :w]),
+                         out.num_cols)
+    return out
 
 
 def _run_starts_1d(rows: jax.Array) -> jax.Array:

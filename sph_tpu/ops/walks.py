@@ -95,11 +95,18 @@ def _simulate(indices: jax.Array, values: jax.Array, seed: jax.Array,
 
         def sub(args):
             nodes_c, u_c = args
-            rows_cum = cum[nodes_c]          # [chunk, R]
+            rows_cum = cum[nodes_c]          # [chunk, R] row gather
             pos = jnp.sum(rows_cum <= u_c[:, None], axis=1)
             in_range = pos < r
             safe_pos = jnp.minimum(pos, r - 1)
-            cand = indices[nodes_c, safe_pos]
+            # lane-select the sampled column instead of a per-element 2D
+            # gather (indices[nodes_c, safe_pos] lowers to scalar lane
+            # gathers, the TPU slow path): one more row gather + a
+            # lane-parallel select
+            rows_idx = indices[nodes_c]      # [chunk, R]
+            sel = (jax.lax.broadcasted_iota(jnp.int32, rows_idx.shape, 1)
+                   == safe_pos[:, None])
+            cand = jnp.sum(jnp.where(sel, rows_idx, 0), axis=1)
             return jnp.where(in_range & (cand >= 0), cand, nodes_c)
 
         nxt = jax.lax.map(sub, (nodes.reshape(-1, chunk),
@@ -276,9 +283,19 @@ def do_random_walks(similarities: SparseRows,
                             settings.remove_diagonal, settings.normalize)
 
     # stays device-resident: downstream merges / pair metrics read the
-    # device copies; the host copy materializes lazily if ever needed
+    # device copies; the host copy materializes lazily if ever needed.
+    # Shrink the stored width to the widest surviving row (pruning can
+    # empty most of the padded slots; downstream merge/pair costs scale
+    # with the padded width).
+    nnz_rows = jnp.sum((idx >= 0) & (val != 0), axis=1)
+    need = int(jnp.max(nnz_rows))
+    from .bucketing import next_pow2
+    wkeep = min(next_pow2(max(need, 1)), idx.shape[1])
+    if wkeep < idx.shape[1]:
+        idx = idx[:, :wkeep]
+        val = val[:, :wkeep]
     rows = SparseRows(idx, val, c)
-    empty = int(jnp.sum(jnp.sum((idx >= 0) & (val != 0), axis=1) == 0))
+    empty = int(jnp.sum(nnz_rows == 0))
     if empty:
         Log.warn("doRandomWalks: %d rows have no effective entries", empty)
     return rows
