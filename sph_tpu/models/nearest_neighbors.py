@@ -133,8 +133,6 @@ class NearestNeighbors:
             self.connected_graph = graph
             self._has_connected = True
             return graph
-        graph = PaddedGraph(base.indices.copy(), base.distances.copy(),
-                            base.counts.copy())
 
         labels = self.connected_components
         ncc = self.num_connected_components
@@ -158,16 +156,27 @@ class NearestNeighbors:
         # (cosine always stores chord distance, knn.py)
         squared = (self._nns.l2_squared
                    and self._nns.knn_metric == KnnMetric.L2)
-        pairs, dists = [], []
-        for ca, cb in mst:
-            ia, ib, d = _closest_pair(data, members[ca], members[cb],
-                                      squared)
-            pairs.append((ia, ib))
-            dists.append(d)
-        if pairs:
-            graph = insert_edges_bidirectional(
-                graph, np.asarray(pairs),
-                np.asarray(dists, dtype=np.float32))
+        if base.device_only:
+            # device path: min-distance pairs on the MXU, then update only
+            # the <= 2*(ncc-1) affected rows — downloading the full padded
+            # graph (~100+ MB at Pines scale) to insert a handful of edges
+            # was the single largest stage-1 cost
+            pairs, dists = _closest_pairs_device(data, members, mst, squared)
+            graph = _insert_edges_device(base, np.asarray(pairs),
+                                         np.asarray(dists, np.float32))
+        else:
+            pairs, dists = [], []
+            for ca, cb in mst:
+                ia, ib, d = _closest_pair(data, members[ca], members[cb],
+                                          squared)
+                pairs.append((ia, ib))
+                dists.append(d)
+            graph = PaddedGraph(base.indices.copy(),
+                                base.distances.copy(), base.counts.copy())
+            if pairs:
+                graph = insert_edges_bidirectional(
+                    graph, np.asarray(pairs),
+                    np.asarray(dists, dtype=np.float32))
 
         self.connected_graph = graph
         self._has_connected = True
@@ -178,6 +187,128 @@ class NearestNeighbors:
     @property
     def has_components_connected(self) -> bool:
         return self._has_connected
+
+
+def _closest_pairs_device(data: np.ndarray, members: list,
+                          mst: np.ndarray, l2_squared: bool):
+    """Min-distance point pair per MST edge, on the MXU (device analogue of
+    _closest_pair; reference: insertConnectionsBetweenComponents,
+    NearestNeighbors.cpp:592-656)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    data_d = jnp.asarray(np.ascontiguousarray(data, np.float32))
+
+    @functools.partial(jax.jit, static_argnames=("block",))
+    def closest(ids_a, ids_b, block: int = 4096):
+        xa = data_d[jnp.maximum(ids_a, 0)]
+        xb = data_d[jnp.maximum(ids_b, 0)]
+        na = jnp.sum(xa * xa, 1)
+        nb = jnp.sum(xb * xb, 1)
+        d2 = (na[:, None] + nb[None, :]
+              - 2.0 * jnp.dot(xa, xb.T,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST))
+        d2 = jnp.where((ids_a >= 0)[:, None] & (ids_b >= 0)[None, :],
+                       d2, jnp.inf)
+        flat = jnp.argmin(d2.reshape(-1))
+        r = flat // d2.shape[1]
+        c = flat % d2.shape[1]
+        return ids_a[r], ids_b[c], jnp.maximum(d2[r, c], 0.0)
+
+    def pad_pow2(ids):
+        w = 1 << (len(ids) - 1).bit_length() if len(ids) else 1
+        out = np.full(max(w, 8), -1, np.int32)
+        out[:len(ids)] = ids
+        return jnp.asarray(out)
+
+    def padded_len(x):
+        return max(1 << (len(x) - 1).bit_length() if len(x) else 1, 8)
+
+    pairs, dists = [], []
+    for ca, cb in mst:
+        if padded_len(members[ca]) * padded_len(members[cb]) > (1 << 26):
+            # two huge components: the single [A, B] tile would not fit —
+            # use the blocked host path for this pair
+            ia, ib, d = _closest_pair(data, members[ca], members[cb],
+                                      l2_squared)
+            pairs.append((ia, ib))
+            dists.append(d)
+            continue
+        ia, ib, d2 = closest(pad_pow2(members[ca]), pad_pow2(members[cb]))
+        d2 = float(d2)
+        pairs.append((int(ia), int(ib)))
+        dists.append(d2 if l2_squared else float(np.sqrt(max(d2, 0.0))))
+    return pairs, dists
+
+
+def _insert_edges_device(base, pairs: np.ndarray, dists: np.ndarray):
+    """Bidirectional edge insertion into a device-resident PaddedGraph by
+    rewriting only the affected rows (reference semantics:
+    NearestNeighbors.cpp insertDistance:547-571 — skip existing edges,
+    never insert before slot 0)."""
+    import jax.numpy as jnp
+
+    from ..ops.graph import PAD_DIST, PAD_INDEX
+
+    idx_d, dist_d = base.device()
+    counts = np.asarray(base.counts).copy()
+    n, kmax = base.shape
+
+    affected = sorted({int(a) for a, b in pairs}
+                      | {int(b) for a, b in pairs})
+    aff = np.asarray(affected, np.int64)
+    pos_of = {r: i for i, r in enumerate(affected)}
+    # np.array (not asarray): the CPU backend returns read-only zero-copy
+    # views and these rows are edited in place below
+    rows_idx = np.array(idx_d[jnp.asarray(aff)])         # [A, Kmax]
+    rows_dist = np.array(dist_d[jnp.asarray(aff)])
+
+    extra = np.zeros(len(affected), np.int64)
+    add = []
+    for (a, b), d in zip(pairs, dists):
+        a, b, d = int(a), int(b), float(d)
+        if a == b:
+            continue
+        for (src, dst) in ((a, b), (b, a)):
+            i = pos_of[src]
+            c = counts[src]
+            if dst not in rows_idx[i, :c]:
+                add.append((i, dst, d))
+                extra[i] += 1
+    if not add:
+        return PaddedGraph(idx_d, dist_d, base.counts)
+
+    new_kmax = max(int((counts[aff] + extra).max()), kmax)
+    if new_kmax > kmax:
+        idx_d = jnp.pad(idx_d, ((0, 0), (0, new_kmax - kmax)),
+                        constant_values=PAD_INDEX)
+        dist_d = jnp.pad(dist_d, ((0, 0), (0, new_kmax - kmax)),
+                         constant_values=PAD_DIST)
+        pad_i = np.full((len(affected), new_kmax - kmax), PAD_INDEX,
+                        rows_idx.dtype)
+        pad_d = np.full((len(affected), new_kmax - kmax), PAD_DIST,
+                        rows_dist.dtype)
+        rows_idx = np.concatenate([rows_idx, pad_i], axis=1)
+        rows_dist = np.concatenate([rows_dist, pad_d], axis=1)
+
+    for i, dst, d in add:
+        src = affected[i]
+        c = counts[src]
+        pos = int(np.searchsorted(rows_dist[i, :c], d, side="right"))
+        pos = max(pos, 1)
+        rows_idx[i, pos + 1:c + 1] = rows_idx[i, pos:c]
+        rows_dist[i, pos + 1:c + 1] = rows_dist[i, pos:c]
+        rows_idx[i, pos] = dst
+        rows_dist[i, pos] = d
+        counts[src] = c + 1
+
+    aff_j = jnp.asarray(aff)
+    idx_d = idx_d.at[aff_j].set(jnp.asarray(rows_idx))
+    dist_d = dist_d.at[aff_j].set(jnp.asarray(rows_dist))
+    return PaddedGraph(idx_d, dist_d, counts.astype(np.int32))
 
 
 def _closest_pair(data: np.ndarray, ids_a: np.ndarray, ids_b: np.ndarray,

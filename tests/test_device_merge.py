@@ -199,3 +199,50 @@ def test_full_hierarchy_device_equals_host():
     assert h_dev.num_components == h_host.num_components
     for a, b in zip(h_dev.parents, h_host.parents):
         assert np.array_equal(a, b)
+
+
+def test_connect_components_device_equals_host():
+    """The device connect path (MXU closest pairs + targeted row updates)
+    must produce the same connected graph as the host path."""
+    import jax.numpy as jnp
+
+    from sph_tpu.models.nearest_neighbors import NearestNeighbors
+    from sph_tpu.settings import NearestNeighborsSettings
+    from sph_tpu.ops.graph import PaddedGraph
+
+    rng = np.random.default_rng(3)
+    # three well-separated blobs so the kNN graph has >1 component
+    blobs = [rng.normal(c, 0.05, (40, 6)) for c in (0.0, 10.0, 30.0)]
+    data = np.concatenate(blobs).astype(np.float32)
+    nns = NearestNeighborsSettings(num_nearest_neighbors=8,
+                                   symmetric_neighbors=True,
+                                   compute_connect_components=True,
+                                   neighbor_connect_components=True)
+
+    host = NearestNeighbors(data, nns)
+    host.compute()
+    g_host = host.connected_graph
+    assert host.num_connected_components == 3
+
+    dev = NearestNeighbors(data, nns)
+    dev._nns = nns
+    # rebuild with a device-resident symmetrized graph to force the
+    # device insert path
+    from sph_tpu.ops.knn import compute_knn
+    from sph_tpu.ops.graph import KnnGraph, symmetrize_graph
+    idx, dist = compute_knn(data, 8)
+    dev.knn_graph = KnnGraph(idx, dist)
+    sym = host.sym_graph
+    dev.sym_graph = PaddedGraph(jnp.asarray(sym.indices),
+                                jnp.asarray(sym.distances),
+                                jnp.asarray(sym.counts))
+    assert dev.sym_graph.device_only
+    dev.compute_connected_components()
+    g_dev = dev.connect_components()
+
+    assert np.array_equal(g_dev.counts, g_host.counts)
+    assert np.array_equal(*_pad_pair(g_dev.indices, g_host.indices, -1))
+    assert np.allclose(*_pad_pair(
+        np.where(g_dev.indices >= 0, g_dev.distances, 0.0),
+        np.where(g_host.indices >= 0, g_host.distances, 0.0), 0.0),
+        rtol=1e-5, atol=1e-6)
