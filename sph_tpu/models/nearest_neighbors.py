@@ -47,6 +47,8 @@ class NearestNeighbors:
     def __init__(self, data: np.ndarray,
                  nns: Optional[NearestNeighborsSettings] = None):
         self._data = np.ascontiguousarray(data, dtype=np.float32)
+        self._data_dev = None   # lazily-uploaded device copy, shared by
+        #                         the kNN matmuls and component bridging
         self._nns = nns or NearestNeighborsSettings()
         self.knn_graph: Optional[KnnGraph] = None
         self.sym_graph: Optional[PaddedGraph] = None
@@ -65,8 +67,17 @@ class NearestNeighbors:
         Log.info("NearestNeighbors::compute: %d neighbors, metric %s, "
                  "index %s", s.num_nearest_neighbors, s.knn_metric.value,
                  s.knn_index.value)
+        from ..ops.device_merge import use_device_restruct
+        keep_dev = (use_device_restruct()
+                    and s.knn_index in (KnnIndex.BRUTE_FORCE, KnnIndex.FLAT))
+        if keep_dev:
+            import jax.numpy as jnp
+            if self._data_dev is None:
+                self._data_dev = jnp.asarray(self._data)
         idx, dist = compute_knn(self._data, s.num_nearest_neighbors,
-                                s.knn_index, s.knn_metric, s.l2_squared)
+                                s.knn_index, s.knn_metric, s.l2_squared,
+                                keep_on_device=keep_dev,
+                                data_dev=self._data_dev)
         self.knn_graph = KnnGraph(idx, dist)
         Log.info("NearestNeighbors: graph sparsity %.6f%%",
                  graph_sparsity(self.knn_graph))
@@ -161,7 +172,9 @@ class NearestNeighbors:
             # the <= 2*(ncc-1) affected rows — downloading the full padded
             # graph (~100+ MB at Pines scale) to insert a handful of edges
             # was the single largest stage-1 cost
-            pairs, dists = _closest_pairs_device(data, members, mst, squared)
+            pairs, dists = _closest_pairs_device(
+                data, members, mst, squared,
+                data_dev=self._data_dev if data is self._data else None)
             graph = _insert_edges_device(base, np.asarray(pairs),
                                          np.asarray(dists, np.float32))
         else:
@@ -189,34 +202,47 @@ class NearestNeighbors:
         return self._has_connected
 
 
-def _closest_pairs_device(data: np.ndarray, members: list,
-                          mst: np.ndarray, l2_squared: bool):
-    """Min-distance point pair per MST edge, on the MXU (device analogue of
-    _closest_pair; reference: insertConnectionsBetweenComponents,
-    NearestNeighbors.cpp:592-656)."""
-    import functools
-
+def _closest_tile_device(data_d, ids_a, ids_b):
+    """jitted min-distance pair between two padded member-id lists (module
+    level: defining the jit inside the caller would retrace every call)."""
     import jax
     import jax.numpy as jnp
 
-    data_d = jnp.asarray(np.ascontiguousarray(data, np.float32))
+    xa = data_d[jnp.maximum(ids_a, 0)]
+    xb = data_d[jnp.maximum(ids_b, 0)]
+    na = jnp.sum(xa * xa, 1)
+    nb = jnp.sum(xb * xb, 1)
+    d2 = (na[:, None] + nb[None, :]
+          - 2.0 * jnp.dot(xa, xb.T,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST))
+    d2 = jnp.where((ids_a >= 0)[:, None] & (ids_b >= 0)[None, :],
+                   d2, jnp.inf)
+    flat = jnp.argmin(d2.reshape(-1))
+    r = flat // d2.shape[1]
+    c = flat % d2.shape[1]
+    return ids_a[r], ids_b[c], jnp.maximum(d2[r, c], 0.0)
 
-    @functools.partial(jax.jit, static_argnames=("block",))
-    def closest(ids_a, ids_b, block: int = 4096):
-        xa = data_d[jnp.maximum(ids_a, 0)]
-        xb = data_d[jnp.maximum(ids_b, 0)]
-        na = jnp.sum(xa * xa, 1)
-        nb = jnp.sum(xb * xb, 1)
-        d2 = (na[:, None] + nb[None, :]
-              - 2.0 * jnp.dot(xa, xb.T,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST))
-        d2 = jnp.where((ids_a >= 0)[:, None] & (ids_b >= 0)[None, :],
-                       d2, jnp.inf)
-        flat = jnp.argmin(d2.reshape(-1))
-        r = flat // d2.shape[1]
-        c = flat % d2.shape[1]
-        return ids_a[r], ids_b[c], jnp.maximum(d2[r, c], 0.0)
+
+_closest_tile_jit = None
+
+
+def _closest_pairs_device(data: np.ndarray, members: list,
+                          mst: np.ndarray, l2_squared: bool,
+                          data_dev=None):
+    """Min-distance point pair per MST edge, on the MXU (device analogue of
+    _closest_pair; reference: insertConnectionsBetweenComponents,
+    NearestNeighbors.cpp:592-656)."""
+    import jax
+    import jax.numpy as jnp
+
+    global _closest_tile_jit
+    if _closest_tile_jit is None:
+        _closest_tile_jit = jax.jit(_closest_tile_device)
+    closest = _closest_tile_jit
+
+    data_d = (data_dev if data_dev is not None
+              else jnp.asarray(np.ascontiguousarray(data, np.float32)))
 
     def pad_pow2(ids):
         w = 1 << (len(ids) - 1).bit_length() if len(ids) else 1
@@ -237,7 +263,8 @@ def _closest_pairs_device(data: np.ndarray, members: list,
             pairs.append((ia, ib))
             dists.append(d)
             continue
-        ia, ib, d2 = closest(pad_pow2(members[ca]), pad_pow2(members[cb]))
+        ia, ib, d2 = closest(data_d, pad_pow2(members[ca]),
+                             pad_pow2(members[cb]))
         d2 = float(d2)
         pairs.append((int(ia), int(ib)))
         dists.append(d2 if l2_squared else float(np.sqrt(max(d2, 0.0))))

@@ -52,17 +52,12 @@ def _run_starts(rows: jax.Array) -> jax.Array:
     return jax.lax.cummax(jnp.where(row_first, iota, jnp.int32(-1)))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("m_pad", "width", "weight_by_size",
-                                    "combine"))
-def _merge_device(indices, values, parents, m_pad: int, width: int,
-                  weight_by_size: bool, combine: str):
-    """Shared body of the sum/min merges.
-
-    indices/values: [N, R] padded rows; parents: [N] i32 in [0, m_pad).
-    Returns (out_idx [m_pad, W] i32, out_val [m_pad, W] f32,
-    counts_full [m_pad] i32 — pre-truncation entry counts per merged row).
-    """
+def _merge_flatten(indices, values, parents, m_pad: int,
+                   weight_by_size: bool, combine: str):
+    """Shared front half of the merges: flatten, 2-key sort by
+    (parent_row, parent_col), dedup runs, segment-combine.  Returns
+    (prow_u, pcol_u, agg_u, counts_full) — unique entries in (row, col)
+    order packed at the front of a [N*R] buffer."""
     n, r = indices.shape
     nr = n * r
     sentinel = jnp.int32(m_pad)
@@ -76,6 +71,7 @@ def _merge_device(indices, values, parents, m_pad: int, width: int,
         row_w = jnp.sum(valid, axis=1).astype(jnp.float32)
         v = jnp.where(valid, values * row_w[:, None], 0.0)
     else:
+        row_w = None
         v = jnp.where(valid, values, 0.0)
 
     rp_s, cp_s, v_s = jax.lax.sort(
@@ -105,6 +101,53 @@ def _merge_device(indices, values, parents, m_pad: int, width: int,
         denom = jnp.maximum(merged_w[jnp.clip(prow_u, 0, m_pad - 1)], 1.0)
         agg_u = agg_u / denom
 
+    row_ok = prow_u < sentinel
+    counts_full = jnp.zeros(m_pad, jnp.int32).at[prow_u].add(
+        row_ok.astype(jnp.int32), mode="drop")
+    return prow_u, pcol_u, agg_u, counts_full
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m_pad", "width", "weight_by_size",
+                                    "combine"))
+def _merge_device_fast(indices, values, parents, m_pad: int, width: int,
+                       weight_by_size: bool, combine: str):
+    """Merge assuming no row exceeds `width` (the caller verifies via
+    counts and falls back to _merge_device on overflow — rare, only when
+    a width cap truncates).  The unique entries leave the flatten sort in
+    (row, col) order, so rows scatter directly into ascending-column
+    layout: ONE global sort instead of three."""
+    nr = indices.shape[0] * indices.shape[1]
+    prow_u, pcol_u, agg_u, counts_full = _merge_flatten(
+        indices, values, parents, m_pad, weight_by_size, combine)
+
+    iota = jnp.arange(nr, dtype=jnp.int32)
+    slot = iota - _run_starts(prow_u)
+    row_ok = prow_u < jnp.int32(m_pad)
+    slot_sc = jnp.where(row_ok, slot, jnp.int32(width))   # OOB -> dropped
+    out_val = jnp.zeros((m_pad, width), jnp.float32).at[
+        prow_u, slot_sc].set(agg_u, mode="drop")
+    out_idx = jnp.full((m_pad, width), -1, jnp.int32).at[
+        prow_u, slot_sc].set(pcol_u, mode="drop")
+    return out_idx, out_val, counts_full
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m_pad", "width", "weight_by_size",
+                                    "combine"))
+def _merge_device(indices, values, parents, m_pad: int, width: int,
+                  weight_by_size: bool, combine: str):
+    """Truncating merge body (used when rows exceed the width cap).
+
+    indices/values: [N, R] padded rows; parents: [N] i32 in [0, m_pad).
+    Returns (out_idx [m_pad, W] i32, out_val [m_pad, W] f32,
+    counts_full [m_pad] i32 — pre-truncation entry counts per merged row).
+    """
+    nr = indices.shape[0] * indices.shape[1]
+    sentinel = jnp.int32(m_pad)
+    prow_u, pcol_u, agg_u, counts_full = _merge_flatten(
+        indices, values, parents, m_pad, weight_by_size, combine)
+
     # width selection order: sum-merge keeps LARGEST values per row,
     # min-merge keeps SMALLEST; ties resolve to the smaller column
     # (identical to the host lexsort semantics)
@@ -116,8 +159,6 @@ def _merge_device(indices, values, parents, m_pad: int, width: int,
     iota = jnp.arange(nr, dtype=jnp.int32)
     slot = iota - _run_starts(rp2)
     row_ok = rp2 < sentinel
-    counts_full = jnp.zeros(m_pad, jnp.int32).at[rp2].add(
-        row_ok.astype(jnp.int32), mode="drop")
 
     slot_sc = jnp.where(row_ok, slot, jnp.int32(width))   # OOB -> dropped
     out_val = jnp.zeros((m_pad, width), jnp.float32).at[rp2, slot_sc].set(
@@ -250,10 +291,19 @@ def merge_by_parents_device(indices, values,
     par_d = jnp.asarray(np.ascontiguousarray(parents, np.int32))
 
     while True:
-        oi, ov, counts = _merge_device(idx_d, val_d, par_d, m_pad, width,
-                                       bool(weight_by_size), combine)
+        # fast path: single global sort, valid whenever no row overflows
+        # `width`; the truncating 3-sort body only runs when a width cap
+        # actually bites (keep-largest / keep-smallest selection)
+        oi, ov, counts = _merge_device_fast(idx_d, val_d, par_d, m_pad,
+                                            width, bool(weight_by_size),
+                                            combine)
         need = int(counts.max()) if num_merged else 0
-        if need <= width or width >= cap:
+        if need <= width:
+            break
+        if width >= cap:
+            oi, ov, counts = _merge_device(idx_d, val_d, par_d, m_pad,
+                                           width, bool(weight_by_size),
+                                           combine)
             break
         width = min(_next_pow2(need), _next_pow2(cap))
 

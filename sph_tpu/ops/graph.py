@@ -29,20 +29,62 @@ PAD_INDEX = -1
 PAD_DIST = np.inf
 
 
-@dataclass
 class KnnGraph:
-    """Fixed-k kNN graph (reference KGraph, Graph.hpp:399-564)."""
+    """Fixed-k kNN graph (reference KGraph, Graph.hpp:399-564).
 
-    indices: np.ndarray    # [N, K] int32
-    distances: np.ndarray  # [N, K] float32, non-decreasing per row
+    Dual residency like PaddedGraph: numpy or jax arrays in, lazy cached
+    copies on both sides.
+    """
+
+    __slots__ = ("_idx_np", "_dist_np", "_idx_dev", "_dist_dev")
+
+    def __init__(self, indices, distances):
+        import jax
+        if isinstance(indices, jax.Array):
+            self._idx_dev, self._idx_np = indices, None
+        else:
+            self._idx_np, self._idx_dev = np.asarray(indices), None
+        if isinstance(distances, jax.Array):
+            self._dist_dev, self._dist_np = distances, None
+        else:
+            self._dist_np, self._dist_dev = np.asarray(distances), None
+
+    @property
+    def indices(self) -> np.ndarray:    # [N, K] int32
+        if self._idx_np is None:
+            self._idx_np = np.asarray(self._idx_dev)
+        return self._idx_np
+
+    @property
+    def distances(self) -> np.ndarray:  # [N, K] f32, non-decreasing per row
+        if self._dist_np is None:
+            self._dist_np = np.asarray(self._dist_dev)
+        return self._dist_np
+
+    @property
+    def device_only(self) -> bool:
+        return self._idx_dev is not None and self._idx_np is None
+
+    def device(self):
+        import jax.numpy as jnp
+        if self._idx_dev is None:
+            self._idx_dev = jnp.asarray(self._idx_np)
+        if self._dist_dev is None:
+            self._dist_dev = jnp.asarray(self._dist_np)
+        return self._idx_dev, self._dist_dev
+
+    @property
+    def shape(self) -> tuple:
+        src = self._idx_np if self._idx_np is not None else self._idx_dev
+        return src.shape
 
     @property
     def num_points(self) -> int:
-        return self.indices.shape[0]
+        return self.shape[0]
 
     @property
     def k(self) -> int:
-        return self.indices.shape[1]
+        return self.shape[1]
 
     def is_valid(self) -> bool:
         n, k = self.indices.shape
@@ -55,7 +97,10 @@ class KnnGraph:
         return bool(np.all(np.diff(self.distances, axis=1) >= 0))
 
     def to_padded(self) -> "PaddedGraph":
-        n, k = self.indices.shape
+        n, k = self.shape
+        if self.device_only:
+            idx_d, dist_d = self.device()
+            return PaddedGraph(idx_d, dist_d, np.full(n, k, dtype=np.int32))
         return PaddedGraph(self.indices.astype(np.int32).copy(),
                            self.distances.astype(np.float32).copy(),
                            np.full(n, k, dtype=np.int32))
@@ -218,6 +263,49 @@ def ensure_self_first(indices: np.ndarray, distances: np.ndarray,
     if counts is not None:
         pass  # counts unchanged: we only permuted/replaced entries
     return indices, distances, num_adjusted
+
+
+_ESF_JIT = None
+
+
+def ensure_self_first_device(indices, distances):
+    """Device body of ensure_self_first (lane-parallel select instead of the
+    host row edits): same three cases — already-first, swap the self entry
+    to slot 0, or shift right and insert (self, 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    global _ESF_JIT
+    fn = _ESF_JIT
+    if fn is None:
+        @jax.jit
+        def fn(indices, distances):
+            n, k = indices.shape
+            ar = jnp.arange(n, dtype=indices.dtype)
+            is_self = indices == ar[:, None]
+            has_self = jnp.any(is_self, axis=1)
+            already = indices[:, 0] == ar
+            idx0 = indices[:, 0]
+            d0 = distances[:, 0]
+            swapped_idx = jnp.where(is_self, idx0[:, None], indices)
+            swapped_dist = jnp.where(is_self, d0[:, None], distances)
+            shifted_idx = jnp.concatenate(
+                [indices[:, :1], indices[:, :-1]], axis=1)
+            shifted_dist = jnp.concatenate(
+                [distances[:, :1], distances[:, :-1]], axis=1)
+            case_swap = (~already & has_self)[:, None]
+            case_shift = (~already & ~has_self)[:, None]
+            out_idx = jnp.where(case_swap, swapped_idx,
+                                jnp.where(case_shift, shifted_idx, indices))
+            out_dist = jnp.where(case_swap, swapped_dist,
+                                 jnp.where(case_shift, shifted_dist,
+                                           distances))
+            out_idx = out_idx.at[:, 0].set(ar)
+            out_dist = out_dist.at[:, 0].set(jnp.where(already, d0, 0.0))
+            return out_idx, out_dist, jnp.sum(~already)
+        _ESF_JIT = fn
+    oi, od, adjusted = fn(indices, distances)
+    return oi, od, int(adjusted)
 
 
 def sort_rows(indices: np.ndarray, distances: np.ndarray,

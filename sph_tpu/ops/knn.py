@@ -148,7 +148,9 @@ def knn_bruteforce(data: np.ndarray, k: int,
                    metric: KnnMetric = KnnMetric.L2,
                    l2_squared: bool = False,
                    row_block: int = 256,
-                   col_block: int = 2048) -> Tuple[np.ndarray, np.ndarray]:
+                   col_block: int = 2048,
+                   keep_on_device: bool = False,
+                   data_dev=None) -> Tuple[np.ndarray, np.ndarray]:
     """Exact kNN: returns (indices [N, k] int32, distances [N, k] f32).
 
     The self point is guaranteed to be in slot 0 with distance 0 (reference:
@@ -156,6 +158,11 @@ def knn_bruteforce(data: np.ndarray, k: int,
     COSINE uses chord distance on L2-normalized vectors (monotone in cosine
     distance; reference uses inner product on renormed copies,
     NearestNeighbors.cpp:208-222).
+
+    keep_on_device: return jax arrays (self-first fixup on device) so the
+    graph feeds the device symmetrize/probdist chain without a download.
+    data_dev: optional pre-uploaded [N, D] device copy of `data` (reused
+    across the kNN and the component-bridging matmuls).
     """
     data = np.ascontiguousarray(data, dtype=np.float32)
     n, _ = data.shape
@@ -166,15 +173,27 @@ def knn_bruteforce(data: np.ndarray, k: int,
         norms = np.linalg.norm(data, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         data = data / norms
+        data_dev = None  # renormalized copy differs from the raw upload
 
     row_block = min(row_block, _ceil_to(n, 8))
     col_block = min(col_block, _ceil_to(n, 128))
     npad = _ceil_to(n, int(np.lcm(row_block, col_block)))
-    padded = _pad_rows(data, npad)
+    if data_dev is not None and data_dev.shape == data.shape:
+        padded_d = (jnp.pad(data_dev, ((0, npad - n), (0, 0)))
+                    if npad != n else data_dev)
+    else:
+        padded_d = jnp.asarray(_pad_rows(data, npad))
 
-    idx, dist = _knn_device(jnp.asarray(padded), jnp.int32(n), k,
+    idx, dist = _knn_device(padded_d, jnp.int32(n), k,
                             metric.value, row_block, col_block, l2_squared,
                             approx_topk=_use_approx_topk())
+    if keep_on_device:
+        from .graph import ensure_self_first_device
+        idx, dist, adjusted = ensure_self_first_device(idx[:n], dist[:n])
+        if adjusted:
+            Log.info("knn_bruteforce: self-first adjusted %d of %d rows",
+                     adjusted, n)
+        return idx, dist
     idx = np.asarray(idx[:n])
     dist = np.asarray(dist[:n])
 
@@ -350,7 +369,9 @@ def compute_knn(data: np.ndarray, k: int,
                 index: KnnIndex = KnnIndex.FLAT,
                 metric: KnnMetric = KnnMetric.L2,
                 l2_squared: bool = False,
-                seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+                seed: int = 0,
+                keep_on_device: bool = False,
+                data_dev=None) -> Tuple[np.ndarray, np.ndarray]:
     """Engine dispatch (reference: NearestNeighbors.cpp:131-141).
 
     On TPU the exact engines (BRUTE_FORCE / FLAT) are the blocked matmul; the
@@ -359,7 +380,9 @@ def compute_knn(data: np.ndarray, k: int,
     engages for very large N.
     """
     if index in (KnnIndex.BRUTE_FORCE, KnnIndex.FLAT):
-        return knn_bruteforce(data, k, metric, l2_squared)
+        return knn_bruteforce(data, k, metric, l2_squared,
+                              keep_on_device=keep_on_device,
+                              data_dev=data_dev)
     if index in (KnnIndex.IVF_FLAT, KnnIndex.HNSW, KnnIndex.HNSWSQ,
                  KnnIndex.HNSW_IVFPQ):
         quantize = index in (KnnIndex.HNSWSQ, KnnIndex.HNSW_IVFPQ)

@@ -749,83 +749,94 @@ def _run_starts_1d(rows: jax.Array) -> jax.Array:
     return jax.lax.cummax(jnp.where(first, iota, jnp.int32(-1)))
 
 
-@functools.partial(jax.jit, static_argnames=("width", "mode"))
-def _symmetrize_p_dev(indices: jax.Array, values: jax.Array, width: int,
-                      mode: str):
+@jax.jit
+def _in_degree(indices: jax.Array, values: jax.Array) -> jax.Array:
+    """Exact per-row reverse-entry count (in-degree over valid entries)."""
+    n, r = indices.shape
+    valid = (indices >= 0) & (values != 0.0)
+    return jnp.zeros(n, jnp.int32).at[
+        jnp.where(valid, indices, n)].add(1, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("width_rev", "mode"))
+def _symmetrize_p_dev(indices: jax.Array, values: jax.Array,
+                      width_rev: int, mode: str):
     """Device symmetrization of a square probability matrix on the union
     support: TSNE (p + p^T)/2 or UMAP fuzzy union p + p^T - p*p^T.
 
-    Both edge directions are flattened, 2-key sorted by (row, col), duplicate
-    (row, col) runs (length <= 2) are segment-combined, and unique entries
-    scattered into padded [N, width] rows in ascending-column order.
-    Returns (out_idx, out_val, counts [N] — pre-truncation widths).
+    Transpose-only restructuring: the forward direction is already
+    row-grouped in the padded layout, so only the REVERSE direction goes
+    through a global (target_row, col) sort + scatter — half the sort
+    volume of flattening both directions.  Forward and reverse rows are
+    then combined lane-wise (concat, per-row sort, adjacent-equal
+    combine), which is cheap 2D lane work.
+
+    width_rev must be >= the max in-degree (callers pass the exact
+    _in_degree bound, so no retry is ever needed).  Returns
+    (out_idx [N, r+width_rev], out_val, counts [N] — union widths).
     """
     n, r = indices.shape
-    e = 2 * n * r
+    e = n * r
     sentinel = jnp.int32(n)
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, r), 0)
     valid = (indices >= 0) & (values != 0.0)
-    rf = jnp.where(valid, rows, sentinel).reshape(-1)
-    cf = jnp.where(valid, indices, sentinel).reshape(-1)
-    v = jnp.where(valid, values, 0.0).reshape(-1)
 
-    r0 = jnp.concatenate([rf, cf])
-    c0 = jnp.concatenate([cf, rf])
-    v0 = jnp.concatenate([v, v])
-    r1, c1, v1 = jax.lax.sort((r0, c0, v0), num_keys=2, is_stable=True)
-
-    valid1 = r1 < sentinel
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool),
-         (r1[1:] != r1[:-1]) | (c1[1:] != c1[:-1])]) & valid1
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-    seg_sc = jnp.where(valid1, seg, e)               # invalid -> dropped
-
-    sum_v = jnp.zeros(e, jnp.float32).at[seg_sc].add(v1, mode="drop")
-    if mode == "tsne":
-        out_v = sum_v * 0.5
-    else:
-        # fuzzy union: subtract the product for length-2 runs (both
-        # directions present); single-direction entries keep p + 0 - 0
-        nxt_same = jnp.concatenate(
-            [(r1[1:] == r1[:-1]) & (c1[1:] == c1[:-1]),
-             jnp.zeros((1,), bool)])
-        pair = first & nxt_same
-        v_next = jnp.concatenate([v1[1:], jnp.zeros((1,), jnp.float32)])
-        prod = jnp.where(pair, v1 * v_next, 0.0)
-        out_v = sum_v - jnp.zeros(e, jnp.float32).at[seg_sc].add(
-            prod, mode="drop")
-
-    row_u = jnp.full(e, sentinel, jnp.int32).at[seg_sc].set(r1, mode="drop")
-    col_u = jnp.zeros(e, jnp.int32).at[seg_sc].set(c1, mode="drop")
+    # reverse entries (target_row = col, col = source_row), globally sorted
+    rr = jnp.where(valid, indices, sentinel).reshape(-1)
+    rc = jnp.where(valid, rows, 0).reshape(-1)
+    rv = jnp.where(valid, values, 0.0).reshape(-1)
+    r1, c1, v1 = jax.lax.sort((rr, rc, rv), num_keys=2, is_stable=True)
 
     iota = jnp.arange(e, dtype=jnp.int32)
-    row_ok = row_u < sentinel
-    slot = iota - _run_starts_1d(row_u)
-    counts = jnp.zeros(n, jnp.int32).at[row_u].add(
-        row_ok.astype(jnp.int32), mode="drop")
-    slot_sc = jnp.where(row_ok, slot, jnp.int32(width))  # overflow -> drop
-    out_idx = jnp.full((n, width), PAD, jnp.int32).at[row_u, slot_sc].set(
-        col_u, mode="drop")
-    out_val = jnp.zeros((n, width), jnp.float32).at[row_u, slot_sc].set(
-        out_v, mode="drop")
-    return out_idx, out_val, counts
+    row_ok = r1 < sentinel
+    slot = iota - _run_starts_1d(r1)
+    slot_sc = jnp.where(row_ok, slot, jnp.int32(width_rev))
+    rev_idx = jnp.full((n, width_rev), PAD, jnp.int32).at[
+        r1, slot_sc].set(c1, mode="drop")
+    rev_val = jnp.zeros((n, width_rev), jnp.float32).at[
+        r1, slot_sc].set(v1, mode="drop")
+
+    # lane-wise combine of forward and reverse rows
+    big = jnp.int32(2**31 - 1)
+    cat_i = jnp.concatenate([jnp.where(valid, indices, big),
+                             jnp.where(rev_idx >= 0, rev_idx, big)], axis=1)
+    cat_v = jnp.concatenate([jnp.where(valid, values, 0.0), rev_val],
+                            axis=1)
+    si, sv = jax.lax.sort((cat_i, cat_v), num_keys=1, dimension=1,
+                          is_stable=True)
+    start = jnp.concatenate(
+        [jnp.ones((n, 1), bool), si[:, 1:] != si[:, :-1]], axis=1)
+    nxt_same = jnp.concatenate(
+        [si[:, 1:] == si[:, :-1], jnp.zeros((n, 1), bool)], axis=1)
+    v_next = jnp.concatenate([sv[:, 1:], jnp.zeros((n, 1), jnp.float32)],
+                             axis=1)
+    pair_v = jnp.where(nxt_same, v_next, 0.0)
+    if mode == "tsne":
+        comb = (sv + pair_v) * 0.5
+    else:
+        comb = sv + pair_v - sv * pair_v
+    keep = start & (si < big)
+    out_v = jnp.where(keep, comb, 0.0)
+    out_i = jnp.where(keep, si, PAD)
+    counts = jnp.sum(keep, axis=1)
+    # push dropped duplicates / pads to the row ends
+    out_i, out_v = _compact_dev(out_i, out_v)
+    return out_i, out_v, counts
 
 
 def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
-    """Width-retry wrapper; returns a device-resident SparseRows at a
-    power-of-two width."""
+    """Returns a device-resident SparseRows at a power-of-two width; the
+    reverse width comes from the exact in-degree, so the kernel runs
+    exactly once."""
     from .bucketing import next_pow2
     idx_d, val_d = sr.device()
     n = sr.num_rows
-    width = next_pow2(min(2 * sr.width, max(n, 1)))
-    while True:
-        oi, ov, counts = _symmetrize_p_dev(idx_d, val_d, width, mode)
-        need = int(counts.max()) if n else 0
-        if need <= width or width >= n:
-            break
-        width = next_pow2(need)
-    return SparseRows(oi, ov, sr.num_cols)
+    wrev = int(jnp.max(_in_degree(idx_d, val_d))) if n else 1
+    wrev = next_pow2(max(wrev, 1))
+    oi, ov, counts = _symmetrize_p_dev(idx_d, val_d, wrev, mode)
+    need = int(counts.max()) if n else 1
+    w = min(next_pow2(max(need, 1)), oi.shape[1])
+    return SparseRows(oi[:, :w], ov[:, :w], sr.num_cols)
 
 
 def symmetrize_tsne(sr: SparseRows) -> SparseRows:

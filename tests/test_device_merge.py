@@ -246,3 +246,22 @@ def test_connect_components_device_equals_host():
         np.where(g_dev.indices >= 0, g_dev.distances, 0.0),
         np.where(g_host.indices >= 0, g_host.distances, 0.0), 0.0),
         rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["tsne", "umap"])
+def test_symmetrize_p_device_matches_scipy(mode):
+    """Transpose-only device symmetrization == the scipy union formulas."""
+    import jax.numpy as jnp
+
+    from sph_tpu.ops.sparse import (symmetrize_tsne, symmetrize_umap,
+                                    _symmetrize_p_device_dispatch)
+
+    sr = random_sparse(120, 9, seed=11)
+    fn = symmetrize_tsne if mode == "tsne" else symmetrize_umap
+    want = fn(sr)  # host-backed input -> scipy path
+    dev_in = SparseRows(jnp.asarray(sr.indices), jnp.asarray(sr.values),
+                        sr.num_cols)
+    got = _symmetrize_p_device_dispatch(dev_in, mode)
+    assert np.array_equal(*_pad_pair(got.indices, want.indices, -1))
+    assert np.allclose(*_pad_pair(got.values, want.values, 0),
+                       rtol=1e-6, atol=1e-7)
