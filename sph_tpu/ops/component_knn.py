@@ -344,10 +344,15 @@ def ivf_candidate_table(features: np.ndarray, nlist: int | None = None,
 
     rng = np.random.default_rng(seed)
     init = features[rng.choice(c, nlist, replace=False)]
-    cents, assign = _kmeans(jnp.asarray(features), jnp.asarray(init),
-                            nlist, kmeans_iters)
+    km_block = min(65536, ((c + 1023) // 1024) * 1024)
+    cpad = ((c + km_block - 1) // km_block) * km_block
+    feats_pad = np.zeros((cpad, features.shape[1]), np.float32)
+    feats_pad[:c] = features
+    cents, assign = _kmeans(jnp.asarray(feats_pad), jnp.int32(c),
+                            jnp.asarray(init), nlist, kmeans_iters,
+                            block=km_block)
     cents = np.asarray(cents)
-    assign = np.asarray(assign)
+    assign = np.asarray(assign)[:c]
 
     order = np.argsort(assign, kind="stable")
     counts = np.bincount(assign, minlength=nlist)

@@ -206,28 +206,123 @@ def knn_bruteforce(data: np.ndarray, k: int,
 
 
 # ---------------------------------------------------------------------------
-# IVF tier: k-means coarse quantizer + per-probe exact search
+# IVF tier: k-means coarse quantizer + cluster-grouped exact search
 # ---------------------------------------------------------------------------
+# TPU-first layout: queries are grouped by their OWN cluster, and a whole
+# query cluster scores against each of its probe clusters' member lists as
+# one [L, L] MXU distance tile with a streaming top-k carry — the direct
+# analogue of FAISS's inverted-list scan, but batched so the work is
+# matmuls instead of per-query gathers (which would move terabytes at 1M
+# points).  Probe sets are per-cluster (nprobe nearest centroids of the
+# query's own centroid) rather than per-query — for self-kNN the query
+# sits in its cluster, so this matches FAISS's probe choice up to
+# centroid-boundary effects; recall is measured empirically
+# (benchmarks/bench_recall.py).
 
-@functools.partial(jax.jit, static_argnames=("nlist", "iters"))
-def _kmeans(data: jax.Array, init: jax.Array, nlist: int, iters: int):
-    """A few Lloyd sweeps on the MXU; assignment via blocked argmin."""
-    def step(cents, _):
-        d = (jnp.sum(data * data, 1)[:, None]
-             + jnp.sum(cents * cents, 1)[None, :]
-             - 2.0 * jnp.dot(data, cents.T,
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "l2_squared"))
+def _ivf_grouped_device(data: jax.Array, segtab: jax.Array,
+                        psegs: jax.Array, k: int, metric: str,
+                        l2_squared: bool):
+    """Score every query segment against its probe segments.
+
+    data: [N, D]; segtab: [S, seg] point ids per segment (-1 pad) — every
+    cluster's inverted list split into fixed-size segments so one compiled
+    shape covers arbitrary cluster-size skew; psegs: [S, P] candidate
+    SEGMENT ids per query segment (-1 pad).  Returns
+    (ids [S, seg, k], dists [S, seg, k]) ascending.
+    """
+    s_total, seg = segtab.shape
+    p = psegs.shape[1]
+
+    def one_segment(args):
+        qids, plist = args             # [seg], [P]
+        q = data[jnp.maximum(qids, 0)]             # [seg, D]
+        qsq = jnp.sum(q * q, axis=1)
+
+        def probe_step(carry, pi):
+            top_d, top_i = carry
+            sid = plist[pi]
+            ids = jnp.where(sid >= 0, segtab[jnp.maximum(sid, 0)], -1)
+            c = data[jnp.maximum(ids, 0)]          # [seg, D]
+            csq = jnp.sum(c * c, axis=1)
+            ip = jnp.dot(q, c.T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            if metric == "inner_product":
+                dist = -ip
+            else:
+                dist = jnp.maximum(qsq[:, None] + csq[None, :] - 2.0 * ip,
+                                   0.0)
+            dist = jnp.where((ids >= 0)[None, :], dist, jnp.inf)
+            dist = jnp.where((qids >= 0)[:, None], dist, jnp.inf)
+            merged_d = jnp.concatenate([top_d, dist], axis=1)
+            merged_i = jnp.concatenate(
+                [top_i, jnp.broadcast_to(ids[None, :], dist.shape)], axis=1)
+            sd, si = jax.lax.sort((merged_d, merged_i), num_keys=1,
+                                  dimension=1, is_stable=True)
+            return (sd[:, :k], si[:, :k]), None
+
+        init = (jnp.full((seg, k), jnp.inf, jnp.float32),
+                jnp.full((seg, k), -1, jnp.int32))
+        (top_d, top_i), _ = jax.lax.scan(probe_step, init, jnp.arange(p))
+        return top_d, top_i
+
+    dists, ids = jax.lax.map(one_segment, (segtab, psegs))
+    if metric != "inner_product":
+        dists = jnp.where(dists <= _F32_EPS, 0.0, dists)
+        if not l2_squared:
+            dists = jnp.sqrt(dists)
+    return ids, dists
+
+@functools.partial(jax.jit, static_argnames=("nlist", "iters", "block"))
+def _kmeans(data: jax.Array, n_valid, init: jax.Array, nlist: int,
+            iters: int, block: int = 65536):
+    """A few Lloyd sweeps on the MXU, blocked over rows: the [N, nlist]
+    distance/one-hot buffers would be multi-GB at 1M points, so each sweep
+    scans [block, nlist] tiles and accumulates centroid sums.  Pad rows
+    (>= n_valid) are excluded from the update."""
+    npts = data.shape[0]
+    nblocks = npts // block
+    sq = jnp.sum(data * data, axis=1)
+
+    def assign_tile(cents, csq, b):
+        x = jax.lax.dynamic_slice_in_dim(data, b * block, block)
+        xsq = jax.lax.dynamic_slice_in_dim(sq, b * block, block)
+        d = (xsq[:, None] + csq[None, :]
+             - 2.0 * jnp.dot(x, cents.T,
                              preferred_element_type=jnp.float32))
-        assign = jnp.argmin(d, axis=1)
-        one_hot = jax.nn.one_hot(assign, nlist, dtype=jnp.float32)
-        sums = jnp.dot(one_hot.T, data, preferred_element_type=jnp.float32)
-        cnt = jnp.sum(one_hot, axis=0)[:, None]
-        new = jnp.where(cnt > 0, sums / jnp.maximum(cnt, 1.0), cents)
+        a = jnp.argmin(d, axis=1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block,), 0) + b * block
+        return x, jnp.where(rows < n_valid, a, nlist)
+
+    def step(cents, _):
+        csq = jnp.sum(cents * cents, axis=1)
+
+        def acc(carry, b):
+            sums, cnts = carry
+            x, a = assign_tile(cents, csq, b)
+            oh = jax.nn.one_hot(a, nlist, dtype=jnp.float32)  # OOB -> 0
+            sums = sums + jnp.dot(oh.T, x,
+                                  preferred_element_type=jnp.float32)
+            cnts = cnts + jnp.sum(oh, axis=0)
+            return (sums, cnts), None
+
+        (sums, cnts), _ = jax.lax.scan(
+            acc, (jnp.zeros((nlist, data.shape[1]), jnp.float32),
+                  jnp.zeros(nlist, jnp.float32)), jnp.arange(nblocks))
+        new = jnp.where(cnts[:, None] > 0,
+                        sums / jnp.maximum(cnts, 1.0)[:, None], cents)
         return new, None
+
     cents, _ = jax.lax.scan(step, init, None, length=iters)
-    d = (jnp.sum(data * data, 1)[:, None]
-         + jnp.sum(cents * cents, 1)[None, :]
-         - 2.0 * jnp.dot(data, cents.T, preferred_element_type=jnp.float32))
-    return cents, jnp.argmin(d, axis=1)
+    csq = jnp.sum(cents * cents, axis=1)
+
+    def final(b):
+        _, a = assign_tile(cents, csq, b)
+        return a
+
+    assign = jax.lax.map(final, jnp.arange(nblocks)).reshape(npts)
+    return cents, assign
 
 
 def knn_ivf(data: np.ndarray, k: int,
@@ -267,20 +362,20 @@ def knn_ivf(data: np.ndarray, k: int,
 
     rng = np.random.default_rng(seed)
     init = data[rng.choice(n, nlist, replace=False)]
-    cents, assign = _kmeans(jnp.asarray(data), jnp.asarray(init), nlist, 10)
+    km_block = min(65536, _ceil_to(n, 1024))
+    npad_km = _ceil_to(n, km_block)
+    cents, assign = _kmeans(jnp.asarray(_pad_rows(data, npad_km)),
+                            jnp.int32(n), jnp.asarray(init), nlist, 10,
+                            block=km_block)
     cents = np.asarray(cents)
-    assign = np.asarray(assign)
+    assign = np.asarray(assign)[:n]
 
-    # inverted lists as a padded [nlist, Lmax] table
+    # cluster-sorted point order (the inverted lists, implicitly)
     order = np.argsort(assign, kind="stable")
     sorted_assign = assign[order]
     counts = np.bincount(assign, minlength=nlist)
-    lmax = int(counts.max())
-    lists = np.full((nlist, lmax), -1, dtype=np.int32)
     starts = np.zeros(nlist + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
-    slot = np.arange(n) - starts[sorted_assign]
-    lists[sorted_assign, slot] = order.astype(np.int32)
 
     if quantize:
         # HNSWSQ-tier 8-bit scalar quantization (reference: Knn.cpp
@@ -294,58 +389,75 @@ def knn_ivf(data: np.ndarray, k: int,
                         255).astype(np.uint8)
         data = (codes.astype(np.float32) * scale_q + lo).astype(np.float32)
 
-    queries = data if query_rows is None else data[np.asarray(query_rows)]
+    # nprobe nearest centroids per CLUSTER (the cluster-grouped layout
+    # shares one probe set across a query cluster; see _ivf_grouped_device)
+    ccd = (np.sum(cents * cents, 1)[:, None]
+           + np.sum(cents * cents, 1)[None, :] - 2.0 * cents @ cents.T)
+    probes = np.argpartition(ccd, min(nprobe, nlist - 1),
+                             axis=1)[:, :nprobe].astype(np.int32)
+    # the cluster itself must always be probed (argpartition ties can push
+    # it out); replace slot 0 only when missing so probe ids stay unique
+    # (a duplicated probe would duplicate candidates in the top-k)
+    has_self = (probes == np.arange(nlist)[:, None]).any(axis=1)
+    probes[:, 0] = np.where(has_self, probes[:, 0], np.arange(nlist))
 
-    # nprobe nearest centroids per query
-    cd = (np.sum(queries * queries, 1)[:, None]
-          + np.sum(cents * cents, 1)[None, :] - 2.0 * queries @ cents.T)
-    probes = np.argpartition(cd, min(nprobe, nlist - 1), axis=1)[:, :nprobe]
+    # uniform segmentation: every inverted list splits into fixed [seg]
+    # chunks (seg ~ the average list size), so one compiled shape covers
+    # arbitrary cluster-size skew and tiles stay [seg, seg]
+    seg = max(256, 1 << max(int(math.ceil(n / nlist)) - 1, 0).bit_length())
+    seg = min(seg, 8192)
+    nseg_per = np.maximum((counts + seg - 1) // seg, 0)
+    seg_starts = np.zeros(nlist + 1, np.int64)
+    np.cumsum(nseg_per, out=seg_starts[1:])
+    s_total = int(seg_starts[-1])
 
-    # candidate sets: [Q, nprobe * lmax]
-    cand = lists[probes].reshape(len(queries), -1)
+    # segment table from the cluster-sorted point order
+    flat = np.full(s_total * seg, -1, np.int32)
+    # position of point j (order[j], cluster sorted_assign[j]) in the
+    # segment layout: cluster base + within-cluster offset
+    within = np.arange(n) - starts[sorted_assign]
+    pos = seg_starts[sorted_assign] * seg + within
+    flat[pos] = order.astype(np.int32)
+    segtab = flat.reshape(s_total, seg)
+    seg_cluster = np.repeat(np.arange(nlist), nseg_per)
 
-    idx, dist = _ivf_score(jnp.asarray(data), jnp.asarray(queries),
-                           jnp.asarray(cand), k, metric.value, l2_squared)
-    idx = np.asarray(idx)
-    dist = np.asarray(dist)
-    if query_rows is None:
-        from .graph import ensure_self_first
-        idx, dist, _ = ensure_self_first(idx, dist)
-    return idx.astype(np.int32), dist.astype(np.float32)
+    # probe SEGMENT list per cluster: all segments of each probed cluster
+    psegs_counts = nseg_per[probes].sum(axis=1)            # [nlist]
+    max_psegs = max(int(psegs_counts.max()), 1)
+    psegs_cl = np.full((nlist, max_psegs), -1, np.int32)
+    for c in range(nlist):
+        out = []
+        for pc in probes[c]:
+            out.extend(range(int(seg_starts[pc]),
+                             int(seg_starts[pc + 1])))
+        psegs_cl[c, :len(out)] = out
+    psegs = psegs_cl[seg_cluster]                          # [S, max_psegs]
 
+    import jax
+    data_d = jnp.asarray(data)
+    segtab_d = jnp.asarray(segtab)
+    ids_b, dists_b = _ivf_grouped_device(data_d, segtab_d,
+                                         jnp.asarray(psegs), k,
+                                         metric.value, l2_squared)
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "l2_squared"))
-def _ivf_score(data: jax.Array, queries: jax.Array, cand: jax.Array,
-               k: int, metric: str, l2_squared: bool):
-    n, _ = queries.shape
+    flat_q = segtab_d.reshape(-1)
+    # pad lanes scatter out of bounds and drop — routing them to row 0
+    # with their old value would race real writes to row 0 (duplicate
+    # scatter indices have no ordering guarantee)
+    tgt = jnp.where(flat_q >= 0, flat_q, jnp.int32(n))
+    n_out_i = jnp.full((n, k), -1, jnp.int32).at[tgt].set(
+        ids_b.reshape(-1, k), mode="drop")
+    n_out_d = jnp.full((n, k), np.inf, jnp.float32).at[tgt].set(
+        dists_b.reshape(-1, k), mode="drop")
 
-    def block_fn(q0):
-        q = jax.lax.dynamic_slice_in_dim(queries, q0 * 256, 256)
-        c = jax.lax.dynamic_slice_in_dim(cand, q0 * 256, 256)
-        cd = data[jnp.maximum(c, 0)]                    # [B, C, D]
-        diff = q[:, None, :] - cd
-        dist = jnp.sum(diff * diff, axis=-1)
-        if metric == "cosine":
-            pass  # pre-normalized; L2^2 == chord^2
-        elif metric == "inner_product":
-            dist = -jnp.sum(q[:, None, :] * cd, axis=-1)
-        dist = jnp.where(c < 0, jnp.inf, dist)
-        neg, sel = jax.lax.top_k(-dist, k)
-        r = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
-        return -neg, c[r, sel]
-
-    npad = _ceil_to(n, 256)
-    if npad != n:
-        queries = jnp.pad(queries, ((0, npad - n), (0, 0)))
-        cand = jnp.pad(cand, ((0, npad - n), (0, 0)), constant_values=-1)
-    dists, ids = jax.lax.map(block_fn, jnp.arange(npad // 256))
-    dists = dists.reshape(npad, k)[:n]
-    ids = ids.reshape(npad, k)[:n]
-    if metric != "inner_product":
-        dists = jnp.where(dists <= _F32_EPS, 0.0, dists)
-        if not l2_squared:
-            dists = jnp.sqrt(dists)
-    return ids, dists
+    from .graph import ensure_self_first_device
+    idx_d2, dist_d2, _ = ensure_self_first_device(n_out_i, n_out_d)
+    if query_rows is not None:
+        qr = jnp.asarray(np.asarray(query_rows, np.int64))
+        return (np.asarray(idx_d2[qr]).astype(np.int32),
+                np.asarray(dist_d2[qr]).astype(np.float32))
+    return (np.asarray(idx_d2).astype(np.int32),
+            np.asarray(dist_d2).astype(np.float32))
 
 
 # ---------------------------------------------------------------------------
