@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -46,19 +47,27 @@ def _use_approx_topk() -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "metric", "row_block", "col_block", "l2_squared", "approx_topk"))
+    "k", "metric", "row_block", "col_block", "l2_squared", "approx_topk",
+    "row_window"))
 def _knn_device(data: jax.Array, n_valid: jax.Array, k: int, metric: str,
                 row_block: int, col_block: int, l2_squared: bool,
-                approx_topk: bool = False
-                ) -> Tuple[jax.Array, jax.Array]:
+                approx_topk: bool = False, row_window: int = 0,
+                row0=0) -> Tuple[jax.Array, jax.Array]:
     """Streaming blocked brute-force kNN.
 
     data: [Np, D] (padded to multiples of the block sizes; pad rows must be
     zeros).  Returns (indices [Np, k] int32, distances [Np, k] f32) where
     distances are sorted ascending per row.  Pad columns are masked to +inf.
+
+    row_window > 0 computes only rows [row0, row0 + row_window) (still
+    against ALL columns): at millions of points one monolithic program
+    runs for minutes, which the tunneled TPU runtime can kill — callers
+    chunk the row space into per-window dispatches instead.
     """
     npad, d = data.shape
-    num_row_blocks = npad // row_block
+    window = row_window if row_window > 0 else npad
+    row_base = jnp.int32(row0) if row_window > 0 else jnp.int32(0)
+    num_row_blocks = window // row_block
     num_col_blocks = npad // col_block
 
     sq_norms = jnp.sum(data * data, axis=1)  # [Np]
@@ -66,9 +75,9 @@ def _knn_device(data: jax.Array, n_valid: jax.Array, k: int, metric: str,
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, col_block), 1)
 
     def row_block_fn(rb):
-        rows = jax.lax.dynamic_slice_in_dim(data, rb * row_block, row_block)
-        row_sq = jax.lax.dynamic_slice_in_dim(sq_norms, rb * row_block,
-                                              row_block)
+        r0 = rb * row_block + row_base
+        rows = jax.lax.dynamic_slice_in_dim(data, r0, row_block)
+        row_sq = jax.lax.dynamic_slice_in_dim(sq_norms, r0, row_block)
 
         def col_step(carry, cb):
             top_d, top_i = carry
@@ -93,7 +102,7 @@ def _knn_device(data: jax.Array, n_valid: jax.Array, k: int, metric: str,
             # force exact-zero self distance (floating-point cancellation in
             # ||x||^2 + ||y||^2 - 2xy can leave tiny residues on the diagonal)
             row_ids = (jax.lax.broadcasted_iota(jnp.int32, dist.shape, 0)
-                       + rb * row_block)
+                       + r0)
             if metric != "inner_product":
                 dist = jnp.where(ids == row_ids, 0.0, dist)
             # pad columns (zero vectors) must never win the top-k
@@ -121,8 +130,8 @@ def _knn_device(data: jax.Array, n_valid: jax.Array, k: int, metric: str,
         return top_d, top_i
 
     top_d, top_i = jax.lax.map(row_block_fn, jnp.arange(num_row_blocks))
-    top_d = top_d.reshape(npad, k)
-    top_i = top_i.reshape(npad, k)
+    top_d = top_d.reshape(window, k)
+    top_i = top_i.reshape(window, k)
 
     if metric == "l2":
         # epsilon cleanup then sqrt (reference: NearestNeighbors.cpp:224-242)
@@ -184,9 +193,27 @@ def knn_bruteforce(data: np.ndarray, k: int,
     else:
         padded_d = jnp.asarray(_pad_rows(data, npad))
 
-    idx, dist = _knn_device(padded_d, jnp.int32(n), k,
-                            metric.value, row_block, col_block, l2_squared,
-                            approx_topk=_use_approx_topk())
+    window = int(os.environ.get("SPH_KNN_ROW_WINDOW", str(1 << 17)))
+    window = _ceil_to(min(window, npad), row_block)
+    if npad > window:
+        # chunk the row space into per-window dispatches: a monolithic
+        # multi-minute program gets killed by the tunneled TPU runtime
+        parts_i, parts_d = [], []
+        for r0 in range(0, npad, window):
+            pi, pdist = _knn_device(padded_d, jnp.int32(n), k,
+                                    metric.value, row_block, col_block,
+                                    l2_squared,
+                                    approx_topk=_use_approx_topk(),
+                                    row_window=window, row0=r0)
+            parts_i.append(pi)
+            parts_d.append(pdist)
+        idx = jnp.concatenate(parts_i, axis=0)
+        dist = jnp.concatenate(parts_d, axis=0)
+    else:
+        idx, dist = _knn_device(padded_d, jnp.int32(n), k,
+                                metric.value, row_block, col_block,
+                                l2_squared,
+                                approx_topk=_use_approx_topk())
     if keep_on_device:
         from .graph import ensure_self_first_device
         idx, dist, adjusted = ensure_self_first_device(idx[:n], dist[:n])
