@@ -67,8 +67,11 @@ def main():
     vals = rng.random((n, r)).astype(np.float32)
     p_val[:n] = vals / vals.sum()
 
-    # warm-up runs one chunk; the measured loop must run at least one more
-    chunk = max(1, min(10, iters // 2))
+    # warm-up runs one chunk; the measured loop must run at least one more.
+    # One exact-repulsion iteration at 1M is ~8 TFLOP — chunking more than
+    # one per dispatch makes a multi-minute program the tunneled runtime
+    # kills.
+    chunk = 1 if n > 300_000 else max(1, min(10, iters // 2))
     args = [jnp.asarray(y), jnp.zeros((npad, 2), jnp.float32),
             jnp.ones((npad, 2), jnp.float32), jnp.int32(0),
             jnp.asarray(p_idx), jnp.asarray(p_val), jnp.int32(n), pvec]

@@ -205,6 +205,10 @@ def knn_bruteforce(data: np.ndarray, k: int,
                                     l2_squared,
                                     approx_topk=_use_approx_topk(),
                                     row_window=window, row0=r0)
+            # pace the dispatch queue: dozens of unsynced multi-second
+            # programs look like one giant program to the tunneled
+            # runtime's watchdog
+            jax.block_until_ready(pdist)
             parts_i.append(pi)
             parts_d.append(pdist)
         idx = jnp.concatenate(parts_i, axis=0)
