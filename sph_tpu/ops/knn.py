@@ -253,17 +253,18 @@ def knn_bruteforce(data: np.ndarray, k: int,
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "l2_squared"))
 def _ivf_grouped_device(data: jax.Array, segtab: jax.Array,
-                        psegs: jax.Array, k: int, metric: str,
-                        l2_squared: bool):
-    """Score every query segment against its probe segments.
+                        qtab: jax.Array, psegs: jax.Array, k: int,
+                        metric: str, l2_squared: bool):
+    """Score a window of query segments against their probe segments.
 
     data: [N, D]; segtab: [S, seg] point ids per segment (-1 pad) — every
     cluster's inverted list split into fixed-size segments so one compiled
-    shape covers arbitrary cluster-size skew; psegs: [S, P] candidate
-    SEGMENT ids per query segment (-1 pad).  Returns
-    (ids [S, seg, k], dists [S, seg, k]) ascending.
+    shape covers arbitrary cluster-size skew — used for CANDIDATE lookups
+    (global segment ids); qtab: [W, seg] the window's query segments;
+    psegs: [W, P] candidate SEGMENT ids per query segment (-1 pad).
+    Returns (ids [W, seg, k], dists [W, seg, k]) ascending.
     """
-    s_total, seg = segtab.shape
+    _, seg = qtab.shape
     p = psegs.shape[1]
 
     def one_segment(args):
@@ -298,7 +299,7 @@ def _ivf_grouped_device(data: jax.Array, segtab: jax.Array,
         (top_d, top_i), _ = jax.lax.scan(probe_step, init, jnp.arange(p))
         return top_d, top_i
 
-    dists, ids = jax.lax.map(one_segment, (segtab, psegs))
+    dists, ids = jax.lax.map(one_segment, (qtab, psegs))
     if metric != "inner_product":
         dists = jnp.where(dists <= _F32_EPS, 0.0, dists)
         if not l2_squared:
@@ -467,9 +468,37 @@ def knn_ivf(data: np.ndarray, k: int,
     import jax
     data_d = jnp.asarray(data)
     segtab_d = jnp.asarray(segtab)
-    ids_b, dists_b = _ivf_grouped_device(data_d, segtab_d,
-                                         jnp.asarray(psegs), k,
+    psegs_d = jnp.asarray(psegs)
+
+    # dispatch in windows of query segments: one monolithic map over all
+    # segments runs for minutes at scale and the tunneled runtime kills
+    # long programs (same guard as knn_bruteforce's row windows)
+    max_tiles = int(os.environ.get("SPH_IVF_TILES_PER_DISPATCH", "4096"))
+    swin = max(1, max_tiles // max(max_psegs, 1))
+    if s_total > swin:
+        # pad S to a window multiple so every dispatch shares one shape
+        spad = _ceil_to(s_total, swin)
+        if spad != s_total:
+            qt = jnp.pad(segtab_d, ((0, spad - s_total), (0, 0)),
+                         constant_values=-1)
+            ps = jnp.pad(psegs_d, ((0, spad - s_total), (0, 0)),
+                         constant_values=-1)
+        else:
+            qt, ps = segtab_d, psegs_d
+        parts = []
+        for s0 in range(0, spad, swin):
+            ib, db = _ivf_grouped_device(data_d, segtab_d,
+                                         qt[s0:s0 + swin],
+                                         ps[s0:s0 + swin], k,
                                          metric.value, l2_squared)
+            jax.block_until_ready(db)
+            parts.append((ib, db))
+        ids_b = jnp.concatenate([p[0] for p in parts], axis=0)[:s_total]
+        dists_b = jnp.concatenate([p[1] for p in parts], axis=0)[:s_total]
+    else:
+        ids_b, dists_b = _ivf_grouped_device(data_d, segtab_d, segtab_d,
+                                             psegs_d, k,
+                                             metric.value, l2_squared)
 
     flat_q = segtab_d.reshape(-1)
     # pad lanes scatter out of bounds and drop — routing them to row 0
