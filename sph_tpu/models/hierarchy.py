@@ -222,8 +222,9 @@ class Hierarchy:
                 if handling != RandomWalkHandling.MERGE_RW_ONLY:
                     merged = remove_diagonal(merged, keep_single_entry=True)
                 else:
-                    Log.warn("Hierarchy::updateRandomWalks: MERGE_RW_ONLY "
-                             "ignores rw_remove_self_sim_after_merging")
+                    Log.warn_once(
+                        "Hierarchy::updateRandomWalks: MERGE_RW_ONLY "
+                        "ignores rw_remove_self_sim_after_merging")
 
             if self.settings.rw_norm_sim == NormType.ONEDIM:
                 merged = normalize_rows(merged)

@@ -51,6 +51,17 @@ def flush() -> None:
 class Log:
     """`Log::trace/debug/info/warn/error/critical` facade."""
 
+    _once_seen: set = set()
+
+    @staticmethod
+    def warn_once(msg, *args):
+        """Warn the first time a given message is seen in this process
+        (setting-conflict notices would otherwise repeat per level/run)."""
+        key = msg % args if args else msg
+        if key not in Log._once_seen:
+            Log._once_seen.add(key)
+            get_logger().warning(msg, *args)
+
     @staticmethod
     def trace(msg, *args):
         get_logger().log(TRACE, msg, *args)

@@ -65,3 +65,41 @@ def test_export_explorer(tmp_path):
     # level without an embedding still exports labels
     lv0 = data["levels"]["0"]
     assert len(lv0["labels"]) == 64 and "emb" not in lv0
+
+    # the embedded JS passes the syntax sanity checker (no JS runtime in
+    # the image; this fails on unbalanced brackets / unterminated
+    # strings, templates, regexes, or comments)
+    from sph_tpu.utils.jscheck import check_js_syntax, extract_scripts
+    scripts = extract_scripts(html)
+    assert scripts, "no <script> block found"
+    for script in scripts:
+        assert check_js_syntax(script) > 100
+
+
+def test_jscheck_catches_errors():
+    from sph_tpu.utils.jscheck import JsSyntaxError, check_js_syntax
+    import pytest
+
+    # valid snippets
+    ok = [
+        "const f = (a, b) => { return a / b; };",
+        "let re = /a[/]b/g; let s = `x ${1 + (2 * 3)} y`;",
+        "// comment\nvar x = 'it\\'s';\n/* block\ncomment */ x++;",
+        "for (let i = 0; i < 10; i++) { arr[i] = {k: [1, 2]}; }",
+    ]
+    for src in ok:
+        assert check_js_syntax(src) > 0
+
+    bad = [
+        "function f() { return 1;",        # unclosed {
+        "const a = [1, 2;",                # unclosed [
+        "if (x) { y(); } }",               # stray }
+        "const s = 'unterminated\n",       # string across newline
+        "const t = `unterminated",         # template
+        "/* never closed",                 # comment
+        "const r = /re[;",                 # regex
+        "f(a, b];",                        # mismatched closer
+    ]
+    for src in bad:
+        with pytest.raises(JsSyntaxError):
+            check_js_syntax(src)
