@@ -165,6 +165,20 @@ class Hierarchy:
 
         # spatial neighbors on the new level (updateSpatialNeighbors):
         # component pairs adjacent via any pixel-grid edge
+        from ..utils.timer import phase
+        with phase("h.spatial"):
+            self._update_spatial_neighbors(num_components_next)
+
+        # random walks on the new level (updateRandomWalks)
+        if self.settings.component_sim in (
+                ComponentSim.NEIGH_WALKS,
+                ComponentSim.NEIGH_WALKS_SINGLE_OVERLAP,
+                ComponentSim.GEO_WALKS):
+            with phase("h.merge_walks"):
+                self._update_random_walks(num_components_next, labels, rws)
+
+    def _update_spatial_neighbors(self, num_components_next: int):
+        pix_next = self.pixel_components[-1]
         grid = self.spatial_neighbors_of(0)
         n, deg = grid.shape
         src = pix_next[np.repeat(np.arange(n), deg)]
@@ -184,13 +198,6 @@ class Hierarchy:
         slot = np.arange(urow.size) - starts[urow]
         adj[urow, slot] = ucol
         self.spatial_neighbors.append(adj)
-
-        # random walks on the new level (updateRandomWalks)
-        if self.settings.component_sim in (
-                ComponentSim.NEIGH_WALKS,
-                ComponentSim.NEIGH_WALKS_SINGLE_OVERLAP,
-                ComponentSim.GEO_WALKS):
-            self._update_random_walks(num_components_next, labels, rws)
 
     def _update_random_walks(self, num_next: int, labels: np.ndarray,
                              rws: RandomWalkSettings):

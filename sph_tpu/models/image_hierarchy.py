@@ -115,7 +115,9 @@ class ImageHierarchy:
                  "mergeMultiple=%s", self._ihs.component_sim.value,
                  "percentile" if self._ihs.use_percentile else "absolute",
                  self._ihs.max_dist, self._ihs.merge_multiple)
-        self._compute_preparations()
+        from ..utils.timer import phase
+        with phase("ih.preparations"):
+            self._compute_preparations()
         self._compute_boruvka()
 
     # ------------------------------------------------------------------
@@ -204,8 +206,11 @@ class ImageHierarchy:
                          level)
                 break
 
+            from ..utils.timer import phase
             c = self.hierarchy.num_components[level]
-            edges_src, edges_dst, edge_dist = self._compute_distances(level)
+            with phase("ih.distances"):
+                edges_src, edges_dst, edge_dist = (
+                    self._compute_distances(level))
 
             thresh = float(_FLOAT_MAX)
             if self._ihs.max_dist > 0:
@@ -222,12 +227,15 @@ class ImageHierarchy:
                              "%.6f", self._ihs.max_dist, q)
                     thresh = q
 
-            merge_src, merge_dst, zero_cnt, forced_cnt = self._select_merges(
-                c, edges_src, edges_dst, edge_dist, thresh, rng)
+            with phase("ih.select"):
+                merge_src, merge_dst, zero_cnt, forced_cnt = (
+                    self._select_merges(c, edges_src, edges_dst, edge_dist,
+                                        thresh, rng))
             self.stats.zero_similarity_count.append(zero_cnt)
             self.stats.forced_merge_count.append(forced_cnt)
 
-            ncc, labels = edge_list_components(c, merge_src, merge_dst)
+            with phase("ih.components"):
+                ncc, labels = edge_list_components(c, merge_src, merge_dst)
             reduction = 100.0 * ncc / self.hierarchy.num_components[-1]
             self.stats.reduction_rates.append(reduction)
             Log.info("ImageHierarchy: %d trees on next level %d "
@@ -243,7 +251,8 @@ class ImageHierarchy:
             if self._rw_lengths:
                 rws_next.single_walk_length = self._rw_lengths[-1]
 
-            self.hierarchy.add_level(ncc, labels, rws_next)
+            with phase("ih.add_level"):
+                self.hierarchy.add_level(ncc, labels, rws_next)
 
             self.stats.not_merged_components.append(
                 len(self.hierarchy.not_merged[-1]))

@@ -117,12 +117,16 @@ class LevelSimilarities:
             start = self._lss.level_to_compute
             end = start + 1
 
+        from ..utils.timer import phase
         for level in range(start, end):
             Log.info("LevelSimilarities::compute: level %d", level)
-            self._compute_knn_on_level(level)
-            self._compute_probdist_on_level(level)
+            with phase("ls.knn"):
+                self._compute_knn_on_level(level)
+            with phase("ls.probdist"):
+                self._compute_probdist_on_level(level)
 
-        self.symmetrize_output(self._lss.compute_symmetric_prob_dist)
+        with phase("ls.symmetrize"):
+            self.symmetrize_output(self._lss.compute_symmetric_prob_dist)
 
     # ------------------------------------------------------------------
 
@@ -281,10 +285,14 @@ class LevelSimilarities:
         else:
             pd = self._probdist_from_knn(level, k, perp)
 
-        # drop zero values (reference: :566-581)
-        pd = drop_zero_entries(pd)
+        # drop zero values (reference: :566-581); the row_nnz download the
+        # stats need doubles as the width-shrink probe — one round trip
+        pd = drop_zero_entries(pd, shrink=False)
+        nnz = pd.row_nnz()
+        from ..ops.sparse import shrink_width
+        pd = shrink_width(pd, int(nnz.max()) if nnz.size else 1)
         self.prob_dists[level] = pd
-        self.stats.avg_num_neighbors.append(float(pd.row_nnz().mean()))
+        self.stats.avg_num_neighbors.append(float(nnz.mean()))
 
     def _probdist_from_data_graph(self, perp: float) -> SparseRows:
         """Reference: :528-538 — normalize the data kNN graph directly."""

@@ -9,8 +9,10 @@ component centroids + min-distance pair insertion (:182-183, :494-861).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
 import numpy as np
 
 from ..settings import KnnIndex, KnnMetric, NearestNeighborsSettings
@@ -74,20 +76,25 @@ class NearestNeighbors:
             import jax.numpy as jnp
             if self._data_dev is None:
                 self._data_dev = jnp.asarray(self._data)
-        idx, dist = compute_knn(self._data, s.num_nearest_neighbors,
-                                s.knn_index, s.knn_metric, s.l2_squared,
-                                keep_on_device=keep_dev,
-                                data_dev=self._data_dev)
-        self.knn_graph = KnnGraph(idx, dist)
+        from ..utils.timer import phase
+        with phase("nn.knn"):
+            idx, dist = compute_knn(self._data, s.num_nearest_neighbors,
+                                    s.knn_index, s.knn_metric, s.l2_squared,
+                                    keep_on_device=keep_dev,
+                                    data_dev=self._data_dev)
+            self.knn_graph = KnnGraph(idx, dist)
         Log.info("NearestNeighbors: graph sparsity %.6f%%",
                  graph_sparsity(self.knn_graph))
 
         if s.symmetric_neighbors:
-            self.compute_symmetrized_graph()
+            with phase("nn.symmetrize"):
+                self.compute_symmetrized_graph()
         if s.compute_connect_components:
-            self.compute_connected_components()
+            with phase("nn.cc"):
+                self.compute_connected_components()
         if s.neighbor_connect_components:
-            self.connect_components()
+            with phase("nn.connect"):
+                self.connect_components()
 
     def compute_symmetrized_graph(self) -> PaddedGraph:
         """Reference: computeSymmetrizedNnGraph (:411-492)."""
@@ -108,7 +115,13 @@ class NearestNeighbors:
         if self.sym_graph is not None and not self.sym_graph.device_only:
             ncc, labels = strong_connected_components(self.sym_graph)
         elif self.sym_graph is not None:
-            ncc, labels = weak_connected_components(self.knn_graph)
+            # device label propagation on the symmetric graph (no wide-row
+            # download); host union-find on the raw kNN graph as fallback
+            from ..ops.graph import weak_cc_device
+            out = weak_cc_device(self.sym_graph)
+            if out is None:
+                out = weak_connected_components(self.knn_graph)
+            ncc, labels = out
         else:
             ncc, labels = weak_connected_components(self.knn_graph)
         self.num_connected_components = ncc
@@ -224,7 +237,18 @@ def _closest_tile_device(data_d, ids_a, ids_b):
     return ids_a[r], ids_b[c], jnp.maximum(d2[r, c], 0.0)
 
 
-_closest_tile_jit = None
+@functools.partial(jax.jit, static_argnames=())
+def _closest_pairs_kernel(data_d, ids_a, ids_b):
+    """All MST pairs in one dispatch: lax.map over the pair axis (the
+    per-pair-dispatch version paid 2+ tunnel round trips PER PAIR — ~85 ms
+    each at 30-45 ms host<->device latency, 1.7 s of the round-2 Pines
+    stage-1 wall)."""
+
+    def one(pair):
+        pa, pb = pair
+        return _closest_tile_device(data_d, pa, pb)
+
+    return jax.lax.map(one, (ids_a, ids_b))
 
 
 def _closest_pairs_device(data: np.ndarray, members: list,
@@ -232,42 +256,54 @@ def _closest_pairs_device(data: np.ndarray, members: list,
                           data_dev=None):
     """Min-distance point pair per MST edge, on the MXU (device analogue of
     _closest_pair; reference: insertConnectionsBetweenComponents,
-    NearestNeighbors.cpp:592-656)."""
-    import jax
+    NearestNeighbors.cpp:592-656).  Every pair is evaluated in a single
+    batched device call; only oversized tiles fall back to the blocked
+    host path."""
     import jax.numpy as jnp
-
-    global _closest_tile_jit
-    if _closest_tile_jit is None:
-        _closest_tile_jit = jax.jit(_closest_tile_device)
-    closest = _closest_tile_jit
 
     data_d = (data_dev if data_dev is not None
               else jnp.asarray(np.ascontiguousarray(data, np.float32)))
 
-    def pad_pow2(ids):
-        w = 1 << (len(ids) - 1).bit_length() if len(ids) else 1
-        out = np.full(max(w, 8), -1, np.int32)
-        out[:len(ids)] = ids
-        return jnp.asarray(out)
+    def pow2(x: int) -> int:
+        return max(1 << (x - 1).bit_length() if x else 1, 8)
 
-    def padded_len(x):
-        return max(1 << (len(x) - 1).bit_length() if len(x) else 1, 8)
-
-    pairs, dists = [], []
+    # larger component on the A side so the padded [P, A] x [P, B] batch
+    # isn't blown up by a giant component appearing on the narrow side
+    ordered = []
+    device_rows = []
+    host_rows = []
     for ca, cb in mst:
-        if padded_len(members[ca]) * padded_len(members[cb]) > (1 << 26):
-            # two huge components: the single [A, B] tile would not fit —
-            # use the blocked host path for this pair
-            ia, ib, d = _closest_pair(data, members[ca], members[cb],
-                                      l2_squared)
-            pairs.append((ia, ib))
-            dists.append(d)
-            continue
-        ia, ib, d2 = closest(data_d, pad_pow2(members[ca]),
-                             pad_pow2(members[cb]))
-        d2 = float(d2)
-        pairs.append((int(ia), int(ib)))
-        dists.append(d2 if l2_squared else float(np.sqrt(max(d2, 0.0))))
+        a, b = (ca, cb) if len(members[ca]) >= len(members[cb]) else (cb, ca)
+        if pow2(len(members[a])) * pow2(len(members[b])) > (1 << 26):
+            host_rows.append((a, b))
+        else:
+            device_rows.append((a, b))
+        ordered.append((a, b))
+
+    out = {}
+    if device_rows:
+        amax = pow2(max(len(members[a]) for a, _ in device_rows))
+        bmax = pow2(max(len(members[b]) for _, b in device_rows))
+        p = len(device_rows)
+        ids_a = np.full((p, amax), -1, np.int32)
+        ids_b = np.full((p, bmax), -1, np.int32)
+        for i, (a, b) in enumerate(device_rows):
+            ids_a[i, :len(members[a])] = members[a]
+            ids_b[i, :len(members[b])] = members[b]
+        ia, ib, d2 = _closest_pairs_kernel(data_d, jnp.asarray(ids_a),
+                                           jnp.asarray(ids_b))
+        ia = np.asarray(ia)
+        ib = np.asarray(ib)
+        d2 = np.asarray(d2, np.float64)
+        d = d2 if l2_squared else np.sqrt(np.maximum(d2, 0.0))
+        for i, (a, b) in enumerate(device_rows):
+            out[(a, b)] = (int(ia[i]), int(ib[i]), float(d[i]))
+    for a, b in host_rows:
+        ia, ib, dd = _closest_pair(data, members[a], members[b], l2_squared)
+        out[(a, b)] = (ia, ib, dd)
+
+    pairs = [(out[key][0], out[key][1]) for key in ordered]
+    dists = [out[key][2] for key in ordered]
     return pairs, dists
 
 

@@ -121,11 +121,12 @@ def _attractive_forces(y: jax.Array, p_idx: jax.Array, p_val: jax.Array):
 
 
 @functools.partial(jax.jit, static_argnames=("block", "iters",
-                                             "use_pallas", "use_dense"))
+                                             "use_pallas", "use_dense",
+                                             "grid"))
 def tsne_iterations(y, vel, gain, it0, p_idx, p_val, n_valid,
                     params_vec, iters: int, block: int,
                     use_pallas: bool = False, p_dense=None,
-                    use_dense: bool = False):
+                    use_dense: bool = False, grid: int = 0):
     """Run `iters` gradient-descent steps (jitted inner loop).
 
     params_vec: [eta, momentum, final_momentum, mom_switch, exag_factor,
@@ -136,6 +137,9 @@ def tsne_iterations(y, vel, gain, it0, p_idx, p_val, n_valid,
     streamed from HBM).  TPU gathers make the sparse attraction term
     14+ ms/iter at N=5.6k, the fused dense pass ~0.3 ms; the driver picks
     it whenever the dense P fits comfortably in HBM.
+    grid: > 0 selects the O(N) grid-interpolated repulsion
+    (ops/tsne_grid.py) with `grid` nodes per dim — the large-N tier
+    (reference intent: theta-scaled Barnes-Hut, EmbedTsne.cpp:165-178).
     """
     (eta, mom0, mom1, mom_switch, exag_f, remove_exag, decay_iter,
      min_gain) = [params_vec[i] for i in range(8)]
@@ -158,7 +162,10 @@ def tsne_iterations(y, vel, gain, it0, p_idx, p_val, n_valid,
                 col_block=min(1024, npad))
         else:
             attr = _attractive_forces(y, p_idx, p_val)
-            if use_pallas:
+            if grid > 0:
+                from ..ops.tsne_grid import grid_repulsion
+                rep, z = grid_repulsion(y, n_valid, grid)
+            elif use_pallas:
                 from ..ops.pallas.tsne_kernels import tsne_repulsion
                 rep, z = tsne_repulsion(y, n_valid, row_block=block,
                                         col_block=block)
@@ -187,8 +194,9 @@ def tsne_iterations(y, vel, gain, it0, p_idx, p_val, n_valid,
     return y, vel, gain, it
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def tsne_kl_divergence(y, p_idx, p_val, n_valid, block: int):
+@functools.partial(jax.jit, static_argnames=("block", "grid"))
+def tsne_kl_divergence(y, p_idx, p_val, n_valid, block: int,
+                       grid: int = 0):
     """KL(P || Q) over P's off-diagonal support: sum p log(p / q), q = w/Z.
 
     Self pairs are excluded and P renormalized over the remaining support:
@@ -198,7 +206,11 @@ def tsne_kl_divergence(y, p_idx, p_val, n_valid, block: int):
     reference's HDILibHelper beta search) — would otherwise make the
     quantity ill-defined (it exerts zero force on the embedding either
     way, diff_ii = 0)."""
-    _, z = _repulsive_forces(y, n_valid, block)
+    if grid > 0:
+        from ..ops.tsne_grid import grid_repulsion
+        _, z = grid_repulsion(y, n_valid, grid)
+    else:
+        _, z = _repulsive_forces(y, n_valid, block)
     yj = y[jnp.maximum(p_idx, 0)]
     diff = y[:, None, :] - yj
     d2 = jnp.sum(diff * diff, axis=-1)
@@ -317,9 +329,10 @@ class TsneComputation:
                  self.params.exponential_decay_iter)
 
         # dense-P fused pass: the TPU-idiomatic mode whenever the [Np, Np]
-        # joint P fits comfortably in HBM (default cap 24576 -> 2.4 GB of
-        # a 16 GB v5e).  SPH_TSNE_DENSE_P: "1"/"0" force, else auto.
-        dense_cap = int(os.environ.get("SPH_TSNE_DENSE_P_MAX", "24576"))
+        # joint P fits comfortably in HBM (default cap 32768 -> 4.3 GB of
+        # a 16 GB v5e; covers Salinas level 1 at 28,807 components).
+        # SPH_TSNE_DENSE_P: "1"/"0" force, else auto.
+        dense_cap = int(os.environ.get("SPH_TSNE_DENSE_P_MAX", "32768"))
         dense_env = os.environ.get("SPH_TSNE_DENSE_P", "auto")
         if dense_env == "0":
             use_dense = False
@@ -328,6 +341,22 @@ class TsneComputation:
         else:
             use_dense = bool(self._use_pallas) and n <= dense_cap
         self._use_dense_p = use_dense
+
+        # grid-interpolated repulsion tier for large N (exact O(N^2)
+        # repulsion is ~0.1 iters/s at N=1M): auto above SPH_TSNE_GRID_MIN
+        # unless forced.  SPH_TSNE_GRID: "1"/"0" force, else auto.
+        grid_min = int(os.environ.get("SPH_TSNE_GRID_MIN", "32768"))
+        grid_env = os.environ.get("SPH_TSNE_GRID", "auto")
+        if grid_env == "0":
+            use_grid = False
+        elif grid_env == "1":
+            use_grid = True
+        else:
+            use_grid = n > grid_min
+        self._use_grid = use_grid
+        if use_grid:
+            self._use_dense_p = use_dense = False
+            Log.info("t-SNE: grid-interpolated repulsion (N=%d)", n)
 
         if use_dense:
             # tile for the fused kernel: col blocks of <=1024 lanes
@@ -409,8 +438,22 @@ class TsneComputation:
             s.embedding, s.velocity, s.gain, jnp.int32(s.iteration),
             self._p_idx, self._p_val, jnp.int32(self._n),
             self._params_vec(), iterations, self._block_eff,
-            self._use_pallas_eff, self._p_dense, self._use_dense_p)
+            self._use_pallas_eff, self._p_dense, self._use_dense_p,
+            self._current_grid())
         self._state = TsneState(y, vel, gain, int(s.iteration) + iterations)
+
+    def _current_grid(self) -> int:
+        """Grid size for the next iteration chunk (0 = grid mode off).
+        Sized from the current embedding span with margin for growth
+        during the chunk; the bbox itself is recomputed dynamically every
+        iteration inside the kernel, only the node count is static."""
+        if not getattr(self, "_use_grid", False):
+            return 0
+        from ..ops.tsne_grid import pick_grid_size
+        y = self._state.embedding
+        span = float(jnp.max(jnp.max(y, axis=0) - jnp.min(y, axis=0)))
+        max_g = int(os.environ.get("SPH_TSNE_GRID_MAX", "1024"))
+        return pick_grid_size(max(span, 1.0) * 1.3, max_g=max_g)
 
     def _single_point(self):
         self._state = TsneState(jnp.zeros((1, 2), jnp.float32),
@@ -434,4 +477,4 @@ class TsneComputation:
             return 0.0
         return float(tsne_kl_divergence(
             self._state.embedding, self._p_idx, self._p_val,
-            jnp.int32(self._n), self._block_eff))
+            jnp.int32(self._n), self._block_eff, self._current_grid()))

@@ -81,6 +81,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.pack_rows.restype = None
     lib.pack_rows.argtypes = [i64, p_i64, p_i32, p_f32, i64, i64, p_i32,
                               p_f32]
+    lib.umap_sequential.restype = None
+    lib.umap_sequential.argtypes = [i64, p_f32, i64, p_i32, p_i32, p_f32,
+                                    i64, ctypes.c_float, ctypes.c_float,
+                                    ctypes.c_float, i64, ctypes.c_uint64]
     _lib = lib
     Log.info("native: libgraphops loaded")
     return _lib
@@ -187,6 +191,27 @@ def pack_rows(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     out_val = np.empty((n, width), dtype=np.float32)
     lib.pack_rows(len(rows), rows, cols, vals, n, width, out_idx, out_val)
     return out_idx, out_val
+
+
+def umap_sequential(embedding: np.ndarray, src: np.ndarray,
+                    dst: np.ndarray, eps: np.ndarray, n_epochs: int,
+                    a: float, b: float, initial_alpha: float = 1.0,
+                    neg_rate: int = 5, seed: int = 42
+                    ) -> Optional[np.ndarray]:
+    """Sequential UMAP layout optimization — the ground-truth oracle for
+    the batched-epoch SGD (models/umap.py).  Faithful per-edge sequential
+    semantics of the reference's umappp optimizer (EmbedUmap.cpp:233-269).
+    Returns the optimized embedding, or None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    emb = np.ascontiguousarray(embedding, dtype=np.float32).copy()
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    eps = np.ascontiguousarray(eps, dtype=np.float32)
+    lib.umap_sequential(emb.shape[0], emb, len(src), src, dst, eps,
+                        n_epochs, a, b, initial_alpha, neg_rate, seed)
+    return emb
 
 
 def symmetrize(indices: np.ndarray, distances: np.ndarray,

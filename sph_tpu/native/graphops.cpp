@@ -10,6 +10,7 @@
 // C ABI for ctypes; build: see sph_tpu/native/__init__.py (g++ -O3 -shared).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
@@ -521,6 +522,94 @@ int64_t merge_min(int64_t n, int64_t r, const int32_t* idx,
         ++out;
     }
     return out;
+}
+
+// ---------------------------------------------------------------------
+// Sequential UMAP layout optimizer — the ground-truth oracle for the
+// batched-epoch SGD in models/umap.py.  Faithful to the sequential
+// semantics of the reference's umappp optimizer (EmbedUmap.cpp:233-269
+// runs umappp's per-edge epoch loop; umap-learn's
+// optimize_layout_euclidean has identical update rules): edges visited in
+// order, per-edge epochs_per_sample schedule, move_other on the
+// attractive pair, a scheduled number of negative samples per visit,
+// gradient clip at +-4, linear alpha decay.  RNG is a SplitMix64-style
+// mixer so results are reproducible across platforms.
+// ---------------------------------------------------------------------
+
+static inline uint64_t mix64(uint64_t x) {
+    x += 0x9e3779b97f4a7c15ULL;
+    x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+    return x ^ (x >> 31);
+}
+
+// emb: [n, 2] updated in place.  Edges (src, dst, eps=epochs_per_sample)
+// must cover both directions (symmetric membership rows).
+void umap_sequential(int64_t n, float* emb, int64_t m,
+                     const int32_t* src, const int32_t* dst,
+                     const float* eps, int64_t n_epochs, float a, float b,
+                     float initial_alpha, int64_t neg_rate,
+                     uint64_t seed) {
+    std::vector<double> next_sample(eps, eps + m);
+    std::vector<double> next_neg(m);
+    std::vector<double> eps_neg(m);
+    for (int64_t i = 0; i < m; ++i) {
+        eps_neg[i] = eps[i] / static_cast<double>(neg_rate);
+        next_neg[i] = eps_neg[i];
+    }
+    uint64_t rng = seed ? seed : 0x8a5cd789635d2dffULL;
+    for (int64_t epoch = 0; epoch < n_epochs; ++epoch) {
+        const float alpha = initial_alpha
+            * (1.0f - static_cast<float>(epoch)
+               / static_cast<float>(n_epochs));
+        for (int64_t i = 0; i < m; ++i) {
+            if (next_sample[i] > epoch) continue;
+            const int64_t j = src[i];
+            const int64_t k = dst[i];
+            float* cur = emb + 2 * j;
+            float* oth = emb + 2 * k;
+            float dx = cur[0] - oth[0];
+            float dy = cur[1] - oth[1];
+            float d2 = dx * dx + dy * dy;
+            if (d2 > 0.0f) {
+                const float gc = (-2.0f * a * b * std::pow(d2, b - 1.0f))
+                    / (a * std::pow(d2, b) + 1.0f);
+                float gx = std::min(std::max(gc * dx, -4.0f), 4.0f);
+                float gy = std::min(std::max(gc * dy, -4.0f), 4.0f);
+                cur[0] += alpha * gx;
+                cur[1] += alpha * gy;
+                oth[0] -= alpha * gx;
+                oth[1] -= alpha * gy;
+            }
+            next_sample[i] += eps[i];
+            const int64_t n_neg = static_cast<int64_t>(
+                (epoch - next_neg[i] + eps_neg[i]) / eps_neg[i]);
+            for (int64_t p = 0; p < n_neg; ++p) {
+                rng = mix64(rng);
+                const int64_t t = static_cast<int64_t>(
+                    rng % static_cast<uint64_t>(n));
+                if (t == j) continue;
+                const float* yn = emb + 2 * t;
+                dx = cur[0] - yn[0];
+                dy = cur[1] - yn[1];
+                d2 = dx * dx + dy * dy;
+                float gx;
+                float gy;
+                if (d2 > 0.0f) {
+                    const float gc = (2.0f * b)
+                        / ((0.001f + d2) * (a * std::pow(d2, b) + 1.0f));
+                    gx = std::min(std::max(gc * dx, -4.0f), 4.0f);
+                    gy = std::min(std::max(gc * dy, -4.0f), 4.0f);
+                } else {
+                    gx = 4.0f;
+                    gy = 4.0f;
+                }
+                cur[0] += alpha * gx;
+                cur[1] += alpha * gy;
+            }
+            next_neg[i] += n_neg * eps_neg[i];
+        }
+    }
 }
 
 }  // extern "C"

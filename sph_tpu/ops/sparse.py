@@ -709,35 +709,49 @@ def _pairwise_post_dev(top_i: jax.Array, top_d: jax.Array):
     return oi, _normalize_rows_dev(oi, ov)
 
 
-def drop_zero_entries(sr: SparseRows) -> SparseRows:
+def drop_zero_entries(sr: SparseRows, shrink: bool = True) -> SparseRows:
     """Remove zero-valued entries, keeping ascending-column order (the final
     cleanup of computeProbDistOnLevel, LevelSimilarities.cpp:566-581).
 
-    Also shrinks the stored width to the power-of-two cover of the widest
-    surviving row: the Gaussian kernel zeroes most far entries of wide
-    hub rows, and downstream symmetrize/t-SNE costs scale with the padded
-    width."""
+    shrink=True also shrinks the stored width to the power-of-two cover of
+    the widest surviving row: the Gaussian kernel zeroes most far entries
+    of wide hub rows, and downstream symmetrize/t-SNE costs scale with the
+    padded width.  On the device path the shrink costs a scalar sync
+    (30-50 ms over the tunnel); callers that fetch row_nnz anyway pass
+    shrink=False and call shrink_width with the host-side max."""
     if sr.device_only:
         idx, val = sr.device()
         keep = val != 0
         oi, ov = _compact_dev(jnp.where(keep, idx, PAD),
                               jnp.where(keep, val, 0.0))
+        out = SparseRows(oi, ov, sr.num_cols)
+        if not shrink:
+            return out
         need = int(jnp.max(jnp.sum(oi >= 0, axis=1)))
-        from .bucketing import next_pow2
-        w = min(next_pow2(max(need, 1)), oi.shape[1])
-        return SparseRows(oi[:, :w], ov[:, :w], sr.num_cols)
+        return shrink_width(out, need)
     keep = sr.values != 0
     idx = np.where(keep, sr.indices, PAD)
     val = np.where(keep, sr.values, 0.0).astype(np.float32)
     out = _compact(idx, val, sr.num_cols)
+    if not shrink:
+        return out
     need = int(out.row_nnz().max()) if out.num_rows else 1
+    return shrink_width(out, need)
+
+
+def shrink_width(sr: SparseRows, need: int) -> SparseRows:
+    """Slice compact rows down to the power-of-two cover of `need` (the
+    max surviving row nnz, supplied by the caller so no device sync is
+    forced here)."""
     from .bucketing import next_pow2
-    w = min(next_pow2(max(need, 1)), out.width)
-    if w < out.width:
-        out = SparseRows(np.ascontiguousarray(out.indices[:, :w]),
-                         np.ascontiguousarray(out.values[:, :w]),
-                         out.num_cols)
-    return out
+    w = min(next_pow2(max(need, 1)), sr.width)
+    if w >= sr.width:
+        return sr
+    if sr.device_only:
+        idx, val = sr.device()
+        return SparseRows(idx[:, :w], val[:, :w], sr.num_cols)
+    return SparseRows(np.ascontiguousarray(sr.indices[:, :w]),
+                      np.ascontiguousarray(sr.values[:, :w]), sr.num_cols)
 
 
 def _run_starts_1d(rows: jax.Array) -> jax.Array:
@@ -747,15 +761,6 @@ def _run_starts_1d(rows: jax.Array) -> jax.Array:
     iota = jnp.arange(e, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), rows[1:] != rows[:-1]])
     return jax.lax.cummax(jnp.where(first, iota, jnp.int32(-1)))
-
-
-@jax.jit
-def _in_degree(indices: jax.Array, values: jax.Array) -> jax.Array:
-    """Exact per-row reverse-entry count (in-degree over valid entries)."""
-    n, r = indices.shape
-    valid = (indices >= 0) & (values != 0.0)
-    return jnp.zeros(n, jnp.int32).at[
-        jnp.where(valid, indices, n)].add(1, mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("width_rev", "mode"))
@@ -771,9 +776,11 @@ def _symmetrize_p_dev(indices: jax.Array, values: jax.Array,
     then combined lane-wise (concat, per-row sort, adjacent-equal
     combine), which is cheap 2D lane work.
 
-    width_rev must be >= the max in-degree (callers pass the exact
-    _in_degree bound, so no retry is ever needed).  Returns
-    (out_idx [N, r+width_rev], out_val, counts [N] — union widths).
+    width_rev is a GUESS (the dispatch retries on the rare overflow —
+    probing the exact in-degree first cost 1.2 s of scatter-adds at
+    Pines level-0 scale).  Returns (out_idx [N, r+width_rev], out_val,
+    counts [N] union widths, rev_lost scalar i32 — entries dropped by an
+    undersized width_rev).
     """
     n, r = indices.shape
     e = n * r
@@ -790,6 +797,7 @@ def _symmetrize_p_dev(indices: jax.Array, values: jax.Array,
     iota = jnp.arange(e, dtype=jnp.int32)
     row_ok = r1 < sentinel
     slot = iota - _run_starts_1d(r1)
+    rev_lost = jnp.sum((slot >= width_rev) & row_ok)
     slot_sc = jnp.where(row_ok, slot, jnp.int32(width_rev))
     rev_idx = jnp.full((n, width_rev), PAD, jnp.int32).at[
         r1, slot_sc].set(c1, mode="drop")
@@ -821,20 +829,30 @@ def _symmetrize_p_dev(indices: jax.Array, values: jax.Array,
     counts = jnp.sum(keep, axis=1)
     # push dropped duplicates / pads to the row ends
     out_i, out_v = _compact_dev(out_i, out_v)
-    return out_i, out_v, counts
+    return out_i, out_v, counts, rev_lost
 
 
 def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
-    """Returns a device-resident SparseRows at a power-of-two width; the
-    reverse width comes from the exact in-degree, so the kernel runs
-    exactly once."""
+    """Returns a device-resident SparseRows at a power-of-two width.
+
+    The reverse-direction width starts from a generous guess (2x the
+    forward width) and doubles on the rare overflow; the overflow flag
+    and the final width are fetched in ONE device round trip (scalar
+    syncs cost 30-50 ms each over the tunnel, and the exact in-degree
+    probe this replaces was 1.2 s of scatter-adds at Pines level-0
+    scale)."""
     from .bucketing import next_pow2
     idx_d, val_d = sr.device()
     n = sr.num_rows
-    wrev = int(jnp.max(_in_degree(idx_d, val_d))) if n else 1
-    wrev = next_pow2(max(wrev, 1))
-    oi, ov, counts = _symmetrize_p_dev(idx_d, val_d, wrev, mode)
-    need = int(counts.max()) if n else 1
+    wrev = next_pow2(max(2 * sr.width, 64))
+    while True:
+        oi, ov, counts, rev_lost = _symmetrize_p_dev(idx_d, val_d, wrev,
+                                                     mode)
+        probe = np.asarray(jnp.stack([jnp.max(counts), rev_lost]))
+        if int(probe[1]) == 0 or wrev >= n:
+            break
+        wrev = min(next_pow2(wrev * 2), next_pow2(n))
+    need = int(probe[0]) if n else 1
     w = min(next_pow2(max(need, 1)), oi.shape[1])
     return SparseRows(oi[:, :w], ov[:, :w], sr.num_cols)
 

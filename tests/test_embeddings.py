@@ -150,3 +150,61 @@ def test_kl_nonnegative_with_diagonal_p_mass():
     t.set_probability_distribution(p)
     t.compute(verbose=False)
     assert t.kl_divergence() >= 0.0
+
+
+def test_grid_repulsion_matches_exact():
+    """Grid-interpolated repulsion (ops/tsne_grid.py) vs exact tiled
+    repulsion: forces and Z agree to interpolation error on a realistic
+    clustered layout."""
+    from sph_tpu.models.tsne import _repulsive_forces
+    from sph_tpu.ops.tsne_grid import grid_repulsion, pick_grid_size
+
+    rng = np.random.default_rng(3)
+    n = 1500
+    y = (rng.standard_normal((n, 2)) * 4.0).astype(np.float32)
+    y += rng.choice([-10.0, 0.0, 10.0], size=(n, 2)).astype(np.float32)
+    npad = 1536
+    yp = np.zeros((npad, 2), np.float32)
+    yp[:n] = y
+    yj = jnp.asarray(yp)
+    rex, zex = _repulsive_forces(yj, jnp.int32(n), 256)
+    g = pick_grid_size(float(y.max() - y.min()))
+    rgr, zgr = grid_repulsion(yj, jnp.int32(n), g)
+    rex = np.asarray(rex)[:n]
+    rgr = np.asarray(rgr)[:n]
+    assert abs(float(zgr) - float(zex)) / float(zex) < 5e-3
+    rel = np.linalg.norm(rgr - rex) / np.linalg.norm(rex)
+    assert rel < 2e-2
+    # pad rows carry no force
+    assert np.all(np.asarray(rgr == rgr))
+    assert np.allclose(np.asarray(grid_repulsion(yj, jnp.int32(n), g)[0])[n:],
+                       0.0)
+
+
+def test_tsne_grid_mode_quality(monkeypatch):
+    """End-to-end t-SNE with grid repulsion forced on: KL lands within a
+    few % of the exact path on identical P (the VERDICT acceptance bar for
+    the large-N tier, checked at small N where exact is cheap)."""
+    p, labels, _ = blob_probdist(n=240, k=15, seed=11)
+    params = TsneParameters(num_iterations=350,
+                            remove_exaggeration_iter=120,
+                            mom_switching_iter=120)
+
+    def run(grid_env):
+        monkeypatch.setenv("SPH_TSNE_GRID", grid_env)
+        tsne = TsneComputation(params, block=64, use_pallas=False)
+        tsne.set_probability_distribution(p)
+        tsne.set_initial_embedding(
+            np.asarray(np.random.default_rng(0).standard_normal(
+                (240, 2)) * 0.05, np.float32))
+        tsne.compute(verbose=False)
+        monkeypatch.setenv("SPH_TSNE_GRID", "0")
+        kl = tsne.kl_divergence()
+        return kl, tsne.embedding
+
+    kl_exact, _ = run("0")
+    kl_grid, emb = run("1")
+    assert np.all(np.isfinite(emb))
+    assert cluster_separation(emb, labels) > 2.0
+    # within a few % of the exact optimizer's KL
+    assert kl_grid < kl_exact * 1.05 + 0.02
