@@ -219,10 +219,17 @@ class Hierarchy:
             budget = int(_os.environ.get("SPH_MERGE_WIDTH_BUDGET",
                                          str(2 ** 28)))
             cap = max(1024, budget // max(num_next, 1))
-            merged = merge_rows_by_parents(
-                self.random_walks[-1], labels, num_next, norm=False,
-                weight_by_size=self.settings.rw_weight_merge_by_size,
-                max_width=cap)
+            from ..utils.timer import phase, phases_enabled
+            if phases_enabled():
+                src = self.random_walks[-1]
+                cc = np.bincount(labels, minlength=num_next)
+                Log.info("merge shapes: n=%d r=%d m=%d cmax=%d",
+                         src.num_rows, src.width, num_next, int(cc.max()))
+            with phase("h.merge_walks.merge"):
+                merged = merge_rows_by_parents(
+                    self.random_walks[-1], labels, num_next, norm=False,
+                    weight_by_size=self.settings.rw_weight_merge_by_size,
+                    max_width=cap)
 
             if (self.settings.rw_remove_self_sim_after_merging
                     and merged.num_rows > 1):
@@ -233,10 +240,11 @@ class Hierarchy:
                         "Hierarchy::updateRandomWalks: MERGE_RW_ONLY "
                         "ignores rw_remove_self_sim_after_merging")
 
-            if self.settings.rw_norm_sim == NormType.ONEDIM:
-                merged = normalize_rows(merged)
-            else:
-                merged = normalize_matrix(merged)
+            with phase("h.merge_walks.norm"):
+                if self.settings.rw_norm_sim == NormType.ONEDIM:
+                    merged = normalize_rows(merged)
+                else:
+                    merged = normalize_matrix(merged)
         elif handling == RandomWalkHandling.MERGE_DATA_NEW_WALKS:
             Log.info("Hierarchy::updateRandomWalks: merge knn nodes")
             import os as _os

@@ -32,6 +32,7 @@ reductions); merged entry LAYOUTS are identical.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -176,6 +177,90 @@ def _merge_device(indices, values, parents, m_pad: int, width: int,
     return out_idx, out_val, counts_full
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("width", "weight_by_size", "combine"))
+def _merge_lanes(indices, values, parents, children, width: int,
+                 weight_by_size: bool, combine: str):
+    """Lane-local merge: gather each parent's child rows side by side and
+    combine duplicate columns with per-row LANE sorts — no global [N*R]
+    sort (the 2-key bitonic over 5.4M elements was 0.3+ s at Pines level-0
+    scale; per-row lane sorts of the same data are an order of magnitude
+    cheaper on the VPU).
+
+    indices/values: [N, R] child rows; parents: [N] i32; children:
+    [M, C] i32 child-id table (-1 pad), C = max children per parent.
+    Returns (out_idx [M, width], out_val [M, width], counts [M] i32
+    pre-truncation run counts — caller falls back to the global sort when
+    counts exceed `width`).
+    """
+    n, r = indices.shape
+    m, c = children.shape
+    sentinel = jnp.int32(m)
+
+    ch_ok = children >= 0
+    ch = jnp.maximum(children, 0)
+    ci = indices[ch]                      # [M, C, R] row gather (fast)
+    cv = values[ch]
+    valid = ch_ok[:, :, None] & (ci >= 0) & (cv != 0.0)
+
+    # columns map through parents (row gather from the [N] parent table)
+    pc = jnp.where(valid, parents[jnp.clip(ci, 0, n - 1)], sentinel)
+
+    if weight_by_size:
+        roww = jnp.sum((indices >= 0) & (values != 0.0),
+                       axis=1).astype(jnp.float32)     # [N] child nnz
+        cw = jnp.where(ch_ok, roww[ch], 0.0)           # [M, C]
+        cv = cv * cw[:, :, None]
+        denom = jnp.maximum(jnp.sum(cw, axis=1), 1.0)  # [M]
+
+    v = jnp.where(valid, cv, 0.0)
+    key = pc.reshape(m, c * r)
+    v = v.reshape(m, c * r)
+
+    if combine == "sum":
+        key_s, v_s = jax.lax.sort((key, v), num_keys=1, dimension=1,
+                                  is_stable=True)
+        # segmented run sums via a Hillis-Steele shifted-add scan: runs
+        # are contiguous after the sort, so "same key 2^s lanes back" is
+        # exactly the segment condition.  (A cumsum-difference trick
+        # would accumulate the WHOLE row into each prefix and lose
+        # precision on small runs late in long rows.)  Total lands on the
+        # run's LAST element.
+        w = key_s.shape[1]
+        seg = v_s
+        shift = 1
+        while shift < w:
+            sk = jnp.pad(key_s[:, :-shift], ((0, 0), (shift, 0)),
+                         constant_values=-1)
+            sv = jnp.pad(seg[:, :-shift], ((0, 0), (shift, 0)))
+            seg = seg + jnp.where(sk == key_s, sv, 0.0)
+            shift *= 2
+        nxt_diff = jnp.concatenate(
+            [key_s[:, 1:] != key_s[:, :-1], jnp.ones((m, 1), bool)], axis=1)
+        out_ok = nxt_diff & (key_s < sentinel)
+        out_v = jnp.where(out_ok, seg, 0.0)
+    else:
+        # min lands on the run's FIRST element after a 2-key sort
+        key_s, v_s = jax.lax.sort((key, v), num_keys=2, is_stable=True,
+                                  dimension=1)
+        is_start = jnp.concatenate(
+            [jnp.ones((m, 1), bool), key_s[:, 1:] != key_s[:, :-1]], axis=1)
+        out_ok = is_start & (key_s < sentinel)
+        out_v = jnp.where(out_ok, v_s, 0.0)
+
+    out_i = jnp.where(out_ok, key_s, jnp.int32(2**31 - 1))
+    counts = jnp.sum(out_ok, axis=1).astype(jnp.int32)
+
+    # compact the surviving run entries to the lane front, ascending col
+    _, oi, ov = jax.lax.sort((out_i, jnp.where(out_ok, key_s, -1), out_v),
+                             num_keys=1, dimension=1, is_stable=True)
+    oi = oi[:, :width]
+    ov = ov[:, :width]
+    if weight_by_size and combine == "sum":
+        ov = ov / denom[:, None]
+    return oi, ov, counts
+
+
 @functools.partial(jax.jit, static_argnames=("width",))
 def _symmetrize_device(indices, distances, width: int):
     """Undirected union with min-distance dedup, self edge first, rows
@@ -290,6 +375,50 @@ def merge_by_parents_device(indices, values,
     width = min(_next_pow2(max(min(guess, 4 * r), 16)), _next_pow2(cap))
 
     par_d = jnp.asarray(np.ascontiguousarray(parents, np.int32))
+
+    # lane path: per-parent child gather + per-row lane sorts, no global
+    # [N*R] sort.  Applicable when the widest parent's concatenated child
+    # rows fit a sane lane width (a mega-merge parent falls back to the
+    # global-sort path)
+    ch_counts = np.bincount(parents, minlength=num_merged)
+    cmax = int(ch_counts.max()) if ch_counts.size else 0
+    # measured on v5e: the lane kernel alone beats the global 2-key sort
+    # ~1.6x at Pines shapes, but in the live pipeline its per-merge host
+    # costs (children-table upload + counts.max() scalar sync over the
+    # ~40 ms tunnel) flip the total (5.75 s vs 6.6 s e2e) — so the lane
+    # path is opt-in; enable via SPH_MERGE_LANE_BUDGET=<max c_pad*r>
+    lane_budget = int(os.environ.get("SPH_MERGE_LANE_BUDGET", "0"))
+    m_pad_lane = _next_pow2(num_merged)
+    if (0 < cmax and _next_pow2(cmax) * r <= lane_budget
+            # total [M, C, R] gather buffer <= 2^28 f32 elems (~1 GB)
+            and m_pad_lane * _next_pow2(cmax) * r <= (1 << 28)
+            and (combine == "sum" or not weight_by_size)):
+        c_pad = _next_pow2(cmax)
+        order = np.argsort(parents, kind="stable")
+        starts = np.zeros(num_merged + 1, np.int64)
+        np.cumsum(ch_counts, out=starts[1:])
+        slot = np.arange(n) - starts[parents[order]]
+        children = np.full((m_pad, c_pad), -1, np.int32)
+        children[parents[order], slot] = order
+        ch_d = jnp.asarray(children)
+        while True:
+            oi, ov, counts = _merge_lanes(idx_d, val_d, par_d, ch_d,
+                                          width, bool(weight_by_size),
+                                          combine)
+            need = int(counts.max()) if num_merged else 0
+            if need <= width:
+                break
+            if width >= cap:
+                oi, ov, counts = _merge_device(idx_d, val_d, par_d, m_pad,
+                                               width, bool(weight_by_size),
+                                               combine)
+                break
+            width = min(_next_pow2(need), _next_pow2(cap))
+        w = max(min(_next_pow2(max(need, 1)), width), 1)
+        if w > cap:
+            w = cap
+        truncated = need > w
+        return oi[:num_merged, :w], ov[:num_merged, :w], truncated
 
     while True:
         # fast path: single global sort, valid whenever no row overflows

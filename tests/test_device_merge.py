@@ -88,6 +88,33 @@ def test_merge_sum_device_truncation_keeps_largest():
     assert np.allclose(dev.values, host.values, rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("wbs", [True, False])
+@pytest.mark.parametrize("combine", ["sum", "min"])
+def test_merge_lane_path_matches_host(wbs, combine):
+    """Opt-in lane-local merge (SPH_MERGE_LANE_BUDGET) vs host path."""
+    if combine == "min" and wbs:
+        pytest.skip("min ignores weight_by_size")
+    sr = random_sparse(400, 12, seed=11)
+    rng = np.random.default_rng(13)
+    m = 90
+    parents = rng.integers(0, m, 400)
+    fn = (merge_rows_by_parents if combine == "sum"
+          else merge_rows_min_by_parents)
+    kw = {"weight_by_size": wbs} if combine == "sum" else {}
+    os.environ["SPH_MERGE_LANE_BUDGET"] = str(1 << 16)
+    try:
+        dev = fn(sr, parents, m, **kw)
+    finally:
+        os.environ.pop("SPH_MERGE_LANE_BUDGET", None)
+    host = host_only(fn, sr, parents, m, **kw)
+    assert np.array_equal(*_pad_pair(dev.indices, host.indices, -1))
+    if combine == "min":
+        assert np.array_equal(*_pad_pair(dev.values, host.values, 0))
+    else:
+        assert np.allclose(*_pad_pair(dev.values, host.values, 0),
+                           rtol=2e-5, atol=1e-7)
+
+
 def test_merge_min_device_matches_host():
     sr = random_sparse(300, 10, seed=5)
     parents = np.random.default_rng(2).integers(0, 40, 300)
