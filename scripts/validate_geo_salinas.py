@@ -43,8 +43,8 @@ def main():
                          NormalizationScheme, RandomWalkSettings, Scaler,
                          scale)
     from sph_tpu.ops.shortest_path import (CONTRACT_THRESHOLD,
-                                           contracted_geodesic_pairs,
-                                           geodesic_component_distances)
+                                           geodesic_component_distances,
+                                           sketch_geodesic_pairs)
     from sph_tpu.utils.logging import set_level
     from sph_tpu.utils.testdata import create_hyperspectral_scene
 
@@ -111,10 +111,10 @@ def main():
           f"{len(uniq_src)} sources", flush=True)
 
     t1 = time.perf_counter()
-    approx = contracted_geodesic_pairs(h, data, level, a, b,
-                                       num_samples=n_samples)
+    approx = sketch_geodesic_pairs(ch.knn_stage.sym_graph, h, data, level,
+                                   a, b, num_samples=n_samples)
     approx_s = time.perf_counter() - t1
-    print(f"# contracted: {approx_s:.1f}s", flush=True)
+    print(f"# sketch: {approx_s:.1f}s", flush=True)
 
     t2 = time.perf_counter()
     graph = ch.knn_stage.sym_graph
@@ -153,9 +153,12 @@ def main():
         "spearman": round(rho, 4),
         "argmin_agreement": round(agree / max(total, 1), 4),
         "argmin_sources": total,
-        "contracted_s": round(approx_s, 1),
+        "sketch_s": round(approx_s, 1),
         "exact_s": round(exact_s, 1),
         "geo_samples": n_samples,
+        "method": "geo_sketch",
+        "sketch_width": int(os.environ.get("SPH_GEO_SKETCH_WIDTH", "64")),
+        "sketch_hops": int(os.environ.get("SPH_GEO_SKETCH_HOPS", "3")),
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "..", "docs", "geo_salinas_validation.json")

@@ -374,15 +374,19 @@ class ImageHierarchy:
     def _geodesic_distances(self, level: int, a: np.ndarray, b: np.ndarray
                             ) -> np.ndarray:
         from ..ops.shortest_path import (CONTRACT_THRESHOLD,
-                                         contracted_geodesic_pairs,
-                                         geodesic_component_distances)
+                                         geodesic_component_distances,
+                                         sketch_geodesic_pairs)
         c = self.hierarchy.num_components[level]
         if level > 0 and c > CONTRACT_THRESHOLD:
-            # pixel-level fields scale as C x N; large levels use the
-            # contracted component-graph geodesics instead
-            return contracted_geodesic_pairs(
-                self.hierarchy, self._data, level, a, b,
+            # pixel-level fields scale as C x N; large levels answer
+            # pair geodesics from the bounded-hop pixel-graph sketch
+            # (ops/geo_sketch.py) — rank-faithful unlike the former
+            # component-graph contraction (Spearman 0.42 -> validated in
+            # scripts/validate_geo_salinas.py)
+            return sketch_geodesic_pairs(
+                self._graph, self.hierarchy, self._data, level, a, b,
                 num_samples=self._ihs.num_geodesic_samples,
+                component_labels=self.component_labels,
                 seed=self._rws.random_seed)
         return geodesic_component_distances(
             self._graph, self._data, self.hierarchy, level, a, b,

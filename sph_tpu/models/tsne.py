@@ -433,14 +433,35 @@ class TsneComputation:
             return
         if not self._initialized:
             self._init_gradient_descent()
-        s = self._state
-        y, vel, gain, it = tsne_iterations(
-            s.embedding, s.velocity, s.gain, jnp.int32(s.iteration),
-            self._p_idx, self._p_val, jnp.int32(self._n),
-            self._params_vec(), iterations, self._block_eff,
-            self._use_pallas_eff, self._p_dense, self._use_dense_p,
-            self._current_grid())
-        self._state = TsneState(y, vel, gain, int(s.iteration) + iterations)
+        # cap iterations per device program: the tunneled TPU runtime
+        # kills programs running longer than ~1-2 min, and a lax.scan of
+        # the full chunk at N=1M crosses that.  Budget is "row-iterations"
+        # per dispatch; exact tiled repulsion additionally scales with
+        # npad^2 / block.
+        budget = int(os.environ.get("SPH_TSNE_DISPATCH_BUDGET",
+                                    str(1 << 24)))
+        if self._use_grid or self._use_dense_p:
+            cost = self._npad
+        else:
+            cost = max(self._npad,
+                       (self._npad * self._npad) // max(self._block_eff,
+                                                        1) // 8)
+        per_dispatch = max(1, min(iterations, budget // max(cost, 1)))
+        left = iterations
+        while left > 0:
+            step = min(per_dispatch, left)
+            s = self._state
+            y, vel, gain, it = tsne_iterations(
+                s.embedding, s.velocity, s.gain, jnp.int32(s.iteration),
+                self._p_idx, self._p_val, jnp.int32(self._n),
+                self._params_vec(), step, self._block_eff,
+                self._use_pallas_eff, self._p_dense, self._use_dense_p,
+                self._current_grid())
+            if step < iterations:
+                # bound the in-flight program before the next dispatch
+                jax.block_until_ready(y)
+            self._state = TsneState(y, vel, gain, int(s.iteration) + step)
+            left -= step
 
     def _current_grid(self) -> int:
         """Grid size for the next iteration chunk (0 = grid mode off).

@@ -296,6 +296,78 @@ def contracted_geodesic_pairs(hierarchy, data: np.ndarray, level: int,
     return out
 
 
+_SKETCH_CACHE: dict = {}
+
+
+def get_geo_sketch(graph):
+    """Bounded-hop geodesic sketch of the pixel graph, cached per graph
+    object (the sketch depends only on the graph, not the level)."""
+    import os
+    from .geo_sketch import build_geo_sketch
+    width = int(os.environ.get("SPH_GEO_SKETCH_WIDTH", "64"))
+    hops = int(os.environ.get("SPH_GEO_SKETCH_HOPS", "3"))
+    key = id(graph)
+    hit = _SKETCH_CACHE.get(key)
+    if hit is None or hit[2] != (width, hops):
+        si, sd = build_geo_sketch(graph, width=width, hops=hops)
+        _SKETCH_CACHE.clear()     # keep at most one (device-resident MBs)
+        hit = (si, sd, (width, hops))
+        _SKETCH_CACHE[key] = hit
+    return hit[0], hit[1]
+
+
+def sketch_geodesic_pairs(graph, hierarchy, data: np.ndarray, level: int,
+                          a: np.ndarray, b: np.ndarray,
+                          num_samples: int = 0,
+                          component_labels=None,
+                          seed: int = 1) -> np.ndarray:
+    """Geodesic-Hausdorff distances for component pairs via the pixel-graph
+    sketch — the high-fidelity large-C tier (replaces the component-graph
+    contraction, whose euclid-edge additivity scrambled ranks: Spearman
+    0.42 on the round-2 validation).  Sampling mirrors the exact path
+    (one sample set per component, Similarities.cpp:286-305); pairs whose
+    sketches never meet fall back to sampled euclidean Hausdorff."""
+    from .geo_sketch import sketch_hausdorff_pairs
+    from .similarities import hausdorff_point_set_distance, sample_represented
+    from ..utils.logging import Log
+
+    si, sd = get_geo_sketch(graph)
+
+    reps = hierarchy.represented_points(level)
+    sizes = np.array([len(r) for r in reps])
+    max_s = int(sizes.max())
+    if num_samples and num_samples > 0:
+        max_s = min(max_s, num_samples)
+    comp_ids = np.unique(np.concatenate([a, b]))
+    samples = sample_represented(reps, comp_ids, max_s, seed=seed + level)
+    pos_of = np.full(int(comp_ids.max()) + 1, -1, dtype=np.int64)
+    pos_of[comp_ids] = np.arange(len(comp_ids))
+    rep_a = samples[pos_of[a]]
+    rep_b = samples[pos_of[b]]
+
+    out = sketch_hausdorff_pairs(si, sd, rep_a, rep_b)
+
+    cross = None
+    if component_labels is not None:
+        first_rep = np.array([r[0] for r in reps], dtype=np.int64)
+        comp_label = np.asarray(component_labels)[first_rep]
+        cross = comp_label[a] != comp_label[b]
+
+    miss = ~np.isfinite(out)
+    if cross is not None:
+        miss &= ~cross
+    n_miss = int(miss.sum())
+    if n_miss:
+        Log.info("sketch_geodesic_pairs: %d/%d pairs without sketch meet "
+                 "-> euclid-Hausdorff fallback", n_miss, len(out))
+        out[miss] = hausdorff_point_set_distance(data, rep_a[miss],
+                                                 rep_b[miss])
+    if cross is not None:
+        out[cross] = _FLOAT_MAX
+    out[~np.isfinite(out)] = _FLOAT_MAX
+    return out.astype(np.float32)
+
+
 def _edge_list_reverse(n: int, src: np.ndarray, dst: np.ndarray,
                        w: np.ndarray):
     """Padded in-edge table from an explicit (src, dst, w) edge list;
