@@ -109,15 +109,28 @@ def _repulsive_forces(y: jax.Array, n_valid, block: int):
     return rep.reshape(npad, dim), jnp.sum(z_parts)
 
 
+def _neighbor_diffs(y: jax.Array, p_idx: jax.Array):
+    """Per-coordinate neighbor differences over P's support.
+
+    Returns (d0, d1, w): [Np, R] each — y_i - y_j split by coordinate and
+    the Student-t weight 1/(1+|d|^2).  Deliberately NEVER materializes the
+    [Np, R, 2] gather output: TPU tiled layout T(8,128) pads the minor
+    dim 2 -> 128, a 64x memory blowup (26 GB at N=100k, R=512 — measured
+    OOM).  1-D dim-0 gathers keep every intermediate at [Np, R]."""
+    idx = jnp.maximum(p_idx, 0)
+    d0 = y[:, 0:1] - y[:, 0][idx]
+    d1 = y[:, 1:2] - y[:, 1][idx]
+    w = 1.0 / (1.0 + d0 * d0 + d1 * d1)
+    return d0, d1, w
+
+
 @jax.jit
 def _attractive_forces(y: jax.Array, p_idx: jax.Array, p_val: jax.Array):
     """Sparse attraction: sum_j p_ij w_ij (y_i - y_j) over P's support."""
-    yj = y[jnp.maximum(p_idx, 0)]                 # [Np, R, 2]
-    diff = y[:, None, :] - yj
-    d2 = jnp.sum(diff * diff, axis=-1)
-    w = 1.0 / (1.0 + d2)
+    d0, d1, w = _neighbor_diffs(y, p_idx)
     coef = jnp.where(p_idx >= 0, p_val * w, 0.0)
-    return jnp.sum(coef[:, :, None] * diff, axis=1)
+    return jnp.stack([jnp.sum(coef * d0, axis=1),
+                      jnp.sum(coef * d1, axis=1)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "iters",
@@ -211,10 +224,7 @@ def tsne_kl_divergence(y, p_idx, p_val, n_valid, block: int,
         _, z = grid_repulsion(y, n_valid, grid)
     else:
         _, z = _repulsive_forces(y, n_valid, block)
-    yj = y[jnp.maximum(p_idx, 0)]
-    diff = y[:, None, :] - yj
-    d2 = jnp.sum(diff * diff, axis=-1)
-    w = 1.0 / (1.0 + d2)
+    _, _, w = _neighbor_diffs(y, p_idx)
     rows = jax.lax.broadcasted_iota(jnp.int32, p_idx.shape, 0)
     valid = (p_idx >= 0) & (p_val > 0) & (p_idx != rows)
     p_mass = jnp.sum(jnp.where(valid, p_val, 0.0))
