@@ -77,6 +77,8 @@ def main():
     kind = os.environ.get("RECALL_DATASET", "clustered")
     nprobes = [int(x) for x in os.environ.get(
         "RECALL_NPROBES", "0").split(",")]   # 0 = default sqrt(nlist)
+    nlists = [int(x) for x in os.environ.get(
+        "RECALL_NLISTS", "0").split(",")]    # 0 = default max(100, sqrt(n))
 
     data = make_data(kind, n, d)
     rng = np.random.default_rng(1)
@@ -86,13 +88,15 @@ def main():
     gt = exact_query_knn(data, q_ids, k)
     gt_s = time.perf_counter() - t0
 
-    configs = [("ivf", False, p) for p in nprobes]
+    configs = [("ivf", False, p, nl) for p in nprobes for nl in nlists]
     if os.environ.get("RECALL_QUANTIZE") == "1":
-        configs += [("ivf_sq8", True, p) for p in nprobes]
+        configs += [("ivf_sq8", True, p, nl)
+                    for p in nprobes for nl in nlists]
 
-    for name, quant, nprobe in configs:
+    for name, quant, nprobe, nlist in configs:
         t1 = time.perf_counter()
         idx, _ = knn_ivf(data, k, quantize=quant,
+                         nlist=(None if nlist == 0 else nlist),
                          nprobe=(None if nprobe == 0 else nprobe),
                          query_rows=q_ids)
         q_s = time.perf_counter() - t1
@@ -105,6 +109,7 @@ def main():
             "value": round(recall, 4), "unit": f"recall@{k}",
             "detail": {"n": n, "d": d, "k": k, "queries": nq,
                        "dataset": kind,
+                       "nlist": nlist or "max(100, sqrt(n))",
                        "nprobe": nprobe or "sqrt(nlist)",
                        "query_s": round(q_s, 2),
                        "ground_truth_s": round(gt_s, 2)}}), flush=True)

@@ -396,11 +396,32 @@ def knn_ivf(data: np.ndarray, k: int,
     init = data[rng.choice(n, nlist, replace=False)]
     km_block = min(65536, _ceil_to(n, 1024))
     npad_km = _ceil_to(n, km_block)
-    cents, assign = _kmeans(jnp.asarray(_pad_rows(data, npad_km)),
-                            jnp.int32(n), jnp.asarray(init), nlist, 10,
-                            block=km_block)
-    cents = np.asarray(cents)
-    assign = np.asarray(assign)[:n]
+    data_dev = jnp.asarray(_pad_rows(data, npad_km))
+    cents_d, assign_d = _kmeans(data_dev, jnp.int32(n), jnp.asarray(init),
+                                nlist, 10, block=km_block)
+    # empty-cell reseeding (FAISS Clustering::train semantics): Lloyd
+    # leaves empty cells stuck — their centroids never move — which on
+    # clustered data wastes most of nlist and caps recall (BASELINE.md
+    # nprobe sweep: misses are assignment effects, not probe-limited).
+    # Reseed empties with points drawn from the biggest clusters and
+    # re-run a few sweeps until (almost) every cell is populated.
+    for _ in range(3):
+        assign = np.asarray(assign_d)[:n]
+        counts0 = np.bincount(assign, minlength=nlist)
+        empty = np.nonzero(counts0 == 0)[0]
+        if len(empty) <= max(nlist // 200, 0):
+            break
+        cents = np.asarray(cents_d)
+        big = np.argsort(-counts0)[:max(len(empty), 1)]
+        donors = rng.permutation(np.nonzero(np.isin(assign, big))[0])
+        take = donors[:len(empty)] if len(donors) >= len(empty) else (
+            rng.choice(n, len(empty)))
+        cents[empty] = data[take] * (1.0 + 1e-4) + 1e-6
+        cents_d, assign_d = _kmeans(data_dev, jnp.int32(n),
+                                    jnp.asarray(cents), nlist, 5,
+                                    block=km_block)
+    cents = np.asarray(cents_d)
+    assign = np.asarray(assign_d)[:n]
 
     # cluster-sorted point order (the inverted lists, implicitly)
     order = np.argsort(assign, kind="stable")
