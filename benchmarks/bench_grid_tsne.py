@@ -70,6 +70,8 @@ def run_tsne(p, iters, grid_env, seed=0):
         t.compute(step, verbose=False) if done == 0 else (
             t.continue_gradient_descent(step, verbose=False))
         done += step
+        print(f"#   grid_env={grid_env} iter {done}/{iters} "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
     emb = t.embedding  # sync
     wall = time.perf_counter() - t0
     # score BOTH runs' KL with the exact-Z path for comparability
@@ -91,7 +93,10 @@ def main():
         1000 if mode == "kl" else 100)
     k = 31
 
+    t_p = time.perf_counter()
     p = make_blob_p(n, k)
+    print(f"# P built: {time.perf_counter() - t_p:.1f}s (n={n})",
+          flush=True)
 
     if mode == "kl":
         emb_g, kl_g, wall_g = run_tsne(p, iters, "1")

@@ -116,6 +116,25 @@ def main():
     approx_s = time.perf_counter() - t1
     print(f"# sketch: {approx_s:.1f}s", flush=True)
 
+    if os.environ.get("GEO_SKIP_EXACT") == "1":
+        # wall-clock-only mode for >=50k-px runs (the sketch's fidelity is
+        # validated separately at sizes where exact SSSP is affordable)
+        out = {
+            "scene": f"{rows}x{cols}x{channels}",
+            "geo_hierarchy_s": round(hierarchy_s, 1),
+            "levels": levels,
+            "sketched_level": int(level),
+            "level_components": int(c),
+            "contract_threshold": CONTRACT_THRESHOLD,
+            "sketch_pairs": int(len(a)),
+            "sketch_s": round(approx_s, 1),
+            "finite_fraction": round(float(
+                (approx < np.float32(np.finfo(np.float32).max)).mean()), 4),
+            "method": "geo_sketch (exact comparison skipped)",
+        }
+        print(json.dumps(out))
+        return
+
     t2 = time.perf_counter()
     graph = ch.knn_stage.sym_graph
     exact = geodesic_component_distances(
