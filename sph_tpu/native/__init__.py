@@ -85,6 +85,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.umap_sequential.argtypes = [i64, p_f32, i64, p_i32, p_i32, p_f32,
                                     i64, ctypes.c_float, ctypes.c_float,
                                     ctypes.c_float, i64, ctypes.c_uint64]
+    p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.lz4_compress_bound.restype = i64
+    lib.lz4_compress_bound.argtypes = [i64]
+    lib.lz4_compress.restype = i64
+    lib.lz4_compress.argtypes = [p_u8, i64, p_u8, i64]
+    lib.lz4_decompress.restype = i64
+    lib.lz4_decompress.argtypes = [p_u8, i64, p_u8, i64]
     _lib = lib
     Log.info("native: libgraphops loaded")
     return _lib
@@ -237,3 +244,34 @@ def symmetrize(indices: np.ndarray, distances: np.ndarray,
     counts = np.empty(n, dtype=np.int32)
     lib.symmetrize_fill(n, k, idx, dist, width, out_idx, out_dist, counts)
     return out_idx, out_dist, counts
+
+
+def lz4_compress(data: bytes | np.ndarray) -> Optional[bytes]:
+    """LZ4 block-compress raw bytes; None -> use the zlib fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8) if isinstance(data, bytes) \
+        else np.ascontiguousarray(data, dtype=np.uint8).ravel()
+    cap = int(lib.lz4_compress_bound(src.size))
+    dst = np.empty(max(cap, 1), dtype=np.uint8)
+    m = lib.lz4_compress(src if src.size else np.zeros(1, np.uint8),
+                         src.size, dst, cap)
+    if m < 0:
+        return None
+    return dst[:m].tobytes()
+
+
+def lz4_decompress(data: bytes, original_size: int) -> Optional[bytes]:
+    """Decompress an LZ4 block of known decompressed size; None on
+    malformed input or when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    dst = np.empty(max(int(original_size), 1), dtype=np.uint8)
+    m = lib.lz4_decompress(src if src.size else np.zeros(1, np.uint8),
+                           src.size, dst, int(original_size))
+    if m != original_size:
+        return None
+    return dst[:original_size].tobytes()

@@ -612,4 +612,147 @@ void umap_sequential(int64_t n, float* emb, int64_t m,
     }
 }
 
+// ---------------------------------------------------------------------
+// LZ4 block-format codec — original implementation of the public block
+// spec.  The reference LZ4-compresses every cache payload
+// (sph/utils/FileIO.hpp:207-292 writeCompressedVecToBinaryBatches); this
+// backs sph_tpu/utils/fileio.py.  Greedy matcher: 4-byte hashes into a
+// 2^16-entry table, 16-bit offsets, spec end conditions (matches must
+// not start within the last 12 bytes; the final 5+ bytes are literals).
+// ---------------------------------------------------------------------
+
+static inline uint32_t lz4_read32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+static inline uint32_t lz4_hash(uint32_t v) {
+    return (v * 2654435761u) >> 16;  // top 16 bits
+}
+
+// Worst-case compressed size for n input bytes.
+int64_t lz4_compress_bound(int64_t n) {
+    return n + n / 255 + 16;
+}
+
+// Compress src[0..n) into dst[0..cap); returns compressed size or -1 if
+// dst is too small (callers size dst with lz4_compress_bound).
+int64_t lz4_compress(const uint8_t* src, int64_t n, uint8_t* dst,
+                     int64_t cap) {
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + cap;
+    const uint8_t* anchor = src;
+
+    auto emit = [&](const uint8_t* lit, int64_t lit_len, int64_t off,
+                    int64_t mlen) -> bool {
+        // token + worst-case extended lengths + literals + offset
+        int64_t need = 1 + lit_len / 255 + 1 + lit_len + 2
+            + (mlen >= 0 ? mlen / 255 + 1 : 0);
+        if (op + need > oend) return false;
+        uint8_t* token = op++;
+        if (lit_len >= 15) {
+            *token = 15 << 4;
+            int64_t rest = lit_len - 15;
+            while (rest >= 255) { *op++ = 255; rest -= 255; }
+            *op++ = static_cast<uint8_t>(rest);
+        } else {
+            *token = static_cast<uint8_t>(lit_len << 4);
+        }
+        std::memcpy(op, lit, static_cast<size_t>(lit_len));
+        op += lit_len;
+        if (mlen < 0) return true;  // final literal-only sequence
+        *op++ = static_cast<uint8_t>(off & 0xff);
+        *op++ = static_cast<uint8_t>((off >> 8) & 0xff);
+        int64_t mtok = mlen - 4;  // minmatch = 4
+        if (mtok >= 15) {
+            *token |= 15;
+            int64_t rest = mtok - 15;
+            while (rest >= 255) { *op++ = 255; rest -= 255; }
+            *op++ = static_cast<uint8_t>(rest);
+        } else {
+            *token |= static_cast<uint8_t>(mtok);
+        }
+        return true;
+    };
+
+    if (n >= 13) {  // below this everything is one literal run anyway
+        const uint8_t* ip = src;
+        const uint8_t* const mflimit = src + n - 12;   // last match start
+        const uint8_t* const matchlimit = src + n - 5;  // last match byte
+        std::vector<int32_t> table(1u << 16, -1);
+        ip++;  // first byte can never match (no earlier data)
+        while (ip < mflimit) {
+            const uint32_t h = lz4_hash(lz4_read32(ip));
+            const int32_t cand = table[h];
+            table[h] = static_cast<int32_t>(ip - src);
+            if (cand >= 0 && (ip - src) - cand <= 65535
+                && lz4_read32(src + cand) == lz4_read32(ip)) {
+                // extend backward over free literals
+                const uint8_t* mp = src + cand;
+                while (ip > anchor && mp > src && ip[-1] == mp[-1]) {
+                    --ip;
+                    --mp;
+                }
+                int64_t mlen = 4;
+                while (ip + mlen < matchlimit && ip[mlen] == mp[mlen]) {
+                    ++mlen;
+                }
+                if (!emit(anchor, ip - anchor, ip - mp, mlen)) return -1;
+                ip += mlen;
+                anchor = ip;
+            } else {
+                ++ip;
+            }
+        }
+    }
+    if (!emit(anchor, (src + n) - anchor, 0, -1)) return -1;
+    return op - dst;
+}
+
+// Decompress src[0..n) into dst[0..cap); returns decompressed size or -1
+// on malformed input (strict bounds checks — never reads/writes OOB).
+int64_t lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
+                       int64_t cap) {
+    const uint8_t* ip = src;
+    const uint8_t* const iend = src + n;
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + cap;
+
+    auto read_len = [&](int64_t base) -> int64_t {
+        int64_t len = base;
+        if (base == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                len += b;
+            } while (b == 255);
+        }
+        return len;
+    };
+
+    while (ip < iend) {
+        const uint8_t token = *ip++;
+        int64_t lit = read_len(token >> 4);
+        if (lit < 0 || ip + lit > iend || op + lit > oend) return -1;
+        std::memcpy(op, ip, static_cast<size_t>(lit));
+        ip += lit;
+        op += lit;
+        if (ip >= iend) break;  // final literal-only sequence
+        if (ip + 2 > iend) return -1;
+        const int64_t off = ip[0] | (static_cast<int64_t>(ip[1]) << 8);
+        ip += 2;
+        if (off == 0 || op - dst < off) return -1;
+        int64_t mlen = read_len(token & 15);
+        if (mlen < 0) return -1;
+        mlen += 4;
+        if (op + mlen > oend) return -1;
+        const uint8_t* mp = op - off;
+        for (int64_t i = 0; i < mlen; ++i) op[i] = mp[i];  // may overlap
+        op += mlen;
+    }
+    return op - dst;
+}
+
 }  // extern "C"

@@ -7,10 +7,10 @@ stage will not load its cache unless its parent stage's cache loaded
 (`cacheDependencyIsValid`) — plus sph/utils/FileIO.hpp's chunked compressed
 serialization.
 
-TPU equivalent: zlib-compressed npz archives keyed by stage name, with the
-same parameter-JSON validation and parent-chain invalidation.  (lz4 is not
-available in this environment; zlib via numpy's savez_compressed fills the
-same role.)
+TPU equivalent: LZ4-compressed array archives (utils/fileio.py, backed by
+the native block codec) keyed by stage name, with the same parameter-JSON
+validation and parent-chain invalidation.  Legacy zlib/npz payloads from
+older caches remain readable.
 """
 
 from __future__ import annotations
@@ -22,6 +22,7 @@ from typing import Any, Optional
 import numpy as np
 
 from ..settings import settings_to_dict
+from . import fileio
 from .logging import Log
 
 CACHE_VERSION = "1.0"
@@ -61,7 +62,9 @@ class StageCache:
 
         base = self._base(stage)
         param_file = base + "_params.json"
-        data_file = base + "_payload.npz"
+        data_file = base + "_payload.sph4"
+        if not os.path.exists(data_file):
+            data_file = base + "_payload.npz"  # legacy archives
         if not (os.path.exists(param_file) and os.path.exists(data_file)):
             self._loaded_ok[stage] = False
             return None
@@ -81,8 +84,11 @@ class StageCache:
             self._loaded_ok[stage] = False
             return None
         try:
-            with np.load(data_file, allow_pickle=False) as z:
-                payload = {k: z[k] for k in z.files}
+            if data_file.endswith(".sph4"):
+                payload = fileio.read_dict(data_file)
+            else:
+                with np.load(data_file, allow_pickle=False) as z:
+                    payload = {k: z[k] for k in z.files}
         except (OSError, ValueError) as e:
             Log.warn("StageCache[%s]: payload load failed (%s)", stage, e)
             self._loaded_ok[stage] = False
@@ -95,7 +101,7 @@ class StageCache:
               depends_on: Optional[str] = None) -> bool:
         base = self._base(stage)
         try:
-            np.savez_compressed(base + "_payload.npz", **payload)
+            fileio.write_dict(base + "_payload.sph4", payload)
             with open(base + "_params.json", "w") as f:
                 json.dump({"## VERSION ##": CACHE_VERSION,
                            "settings": _settings_payload(settings)}, f,
@@ -107,5 +113,5 @@ class StageCache:
         # STALE: they must refuse to load (reference: cachingSuccess is set
         # only by loadCache, never by writeCache — Cacheable.hpp:46)
         self._loaded_ok[stage] = False
-        Log.info("StageCache[%s]: wrote %s", stage, base + "_payload.npz")
+        Log.info("StageCache[%s]: wrote %s", stage, base + "_payload.sph4")
         return True
