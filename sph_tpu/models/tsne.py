@@ -124,22 +124,91 @@ def _neighbor_diffs(y: jax.Array, p_idx: jax.Array):
     return d0, d1, w
 
 
-@jax.jit
-def _attractive_forces(y: jax.Array, p_idx: jax.Array, p_val: jax.Array):
-    """Sparse attraction: sum_j p_ij w_ij (y_i - y_j) over P's support."""
-    d0, d1, w = _neighbor_diffs(y, p_idx)
-    coef = jnp.where(p_idx >= 0, p_val * w, 0.0)
-    return jnp.stack([jnp.sum(coef * d0, axis=1),
-                      jnp.sum(coef * d1, axis=1)], axis=1)
+@functools.partial(jax.jit, static_argnames=("packed",))
+def _attractive_forces(y: jax.Array, p_idx: jax.Array, p_val: jax.Array,
+                       packed: bool = False):
+    """Sparse attraction: sum_j p_ij w_ij (y_i - y_j) over P's support.
+
+    Above ~33M P entries the row axis is chunked with lax.map: one fused
+    gather+elementwise over the full [Np, R] extent produces multi-GB
+    fusion buffers that fault the TPU runtime at N=1M, R=128 (observed:
+    worker crash, not OOM).  Chunks bound every live buffer to ~34 MB
+    while each dispatch still saturates the VPU.
+
+    packed=True (the grid tier's default): both neighbor coordinates are
+    fetched with ONE f32 gather per entry — (u16(y0), u16(y1)) fixed-point
+    over the live bounding box, bitcast into a single f32 table and
+    unpacked with 2-D integer ops (a [c, R, 2] intermediate would
+    tile-pad the minor dim 2 -> 128).  TPU gather throughput is
+    per-element-op bound (~100M elem/s on v5e; a complex64 gather
+    decomposes back into two f32 gathers — measured identical), so
+    halving the element count halves the dominant cost (measured 1.78x).
+
+    Fixed-point, NOT bf16: quantization error must be uniform in
+    *absolute* terms because the force kernel consumes position
+    DIFFERENCES — close pairs carry the largest p_ij w_ij weights while
+    |d| is small, so a floating quantizer's |y|-proportional error
+    (~span/512 for bf16) dominates exactly there (measured: bf16 packing
+    degraded 50k KL by 9%; u16 fixed-point over the bbox has error
+    span/65536 and measures at exact-KL parity).  The error is far below
+    the grid tier's own interpolation error and the reference's
+    Barnes-Hut theta=0.5 cell approximation (sph/EmbedTsne.cpp:165-178)."""
+    npts, width = p_idx.shape
+    fuse_max = int(os.environ.get("SPH_TSNE_ATTR_FUSE_MAX", str(1 << 25)))
+    if npts * width <= fuse_max and not packed:
+        d0, d1, w = _neighbor_diffs(y, p_idx)
+        coef = jnp.where(p_idx >= 0, p_val * w, 0.0)
+        return jnp.stack([jnp.sum(coef * d0, axis=1),
+                          jnp.sum(coef * d1, axis=1)], axis=1)
+
+    chunk = max(((1 << 23) // width) // 8 * 8, 8)
+    chunk = min(chunk, _ceil_to(npts, 8))
+    cpad = ((npts + chunk - 1) // chunk) * chunk
+    pi = jnp.pad(p_idx, ((0, cpad - npts), (0, 0)), constant_values=-1)
+    pv = jnp.pad(p_val, ((0, cpad - npts), (0, 0)))
+    yp = jnp.pad(y, ((0, cpad - npts), (0, 0)))
+    y0, y1 = y[:, 0], y[:, 1]
+    if packed:
+        lo0, hi0 = jnp.min(y0), jnp.max(y0)
+        lo1, hi1 = jnp.min(y1), jnp.max(y1)
+        s0 = jnp.maximum(hi0 - lo0, 1e-30) / 65535.0
+        s1 = jnp.maximum(hi1 - lo1, 1e-30) / 65535.0
+        q0 = jnp.round((y0 - lo0) / s0).astype(jnp.uint32)
+        q1 = jnp.round((y1 - lo1) / s1).astype(jnp.uint32)
+        table = jax.lax.bitcast_convert_type((q0 << 16) | q1, jnp.float32)
+
+    def one(cb):
+        s = cb * chunk
+        idx = jax.lax.dynamic_slice_in_dim(pi, s, chunk)
+        val = jax.lax.dynamic_slice_in_dim(pv, s, chunk)
+        yc = jax.lax.dynamic_slice_in_dim(yp, s, chunk)
+        safe = jnp.maximum(idx, 0)
+        if packed:
+            g = jax.lax.bitcast_convert_type(table[safe], jnp.uint32)
+            n0 = (g >> 16).astype(jnp.float32) * s0 + lo0
+            n1 = (g & jnp.uint32(0xffff)).astype(jnp.float32) * s1 + lo1
+        else:
+            n0 = y0[safe]
+            n1 = y1[safe]
+        d0 = yc[:, 0:1] - n0
+        d1 = yc[:, 1:2] - n1
+        w = 1.0 / (1.0 + d0 * d0 + d1 * d1)
+        coef = jnp.where(idx >= 0, val * w, 0.0)
+        return jnp.stack([jnp.sum(coef * d0, axis=1),
+                          jnp.sum(coef * d1, axis=1)], axis=1)
+
+    out = jax.lax.map(one, jnp.arange(cpad // chunk, dtype=jnp.int32))
+    return out.reshape(cpad, 2)[:npts]
 
 
 @functools.partial(jax.jit, static_argnames=("block", "iters",
                                              "use_pallas", "use_dense",
-                                             "grid"))
+                                             "grid", "attr_packed"))
 def tsne_iterations(y, vel, gain, it0, p_idx, p_val, n_valid,
                     params_vec, iters: int, block: int,
                     use_pallas: bool = False, p_dense=None,
-                    use_dense: bool = False, grid: int = 0):
+                    use_dense: bool = False, grid: int = 0,
+                    attr_packed: bool = False):
     """Run `iters` gradient-descent steps (jitted inner loop).
 
     params_vec: [eta, momentum, final_momentum, mom_switch, exag_factor,
@@ -174,7 +243,7 @@ def tsne_iterations(y, vel, gain, it0, p_idx, p_val, n_valid,
                 y, p_dense, n_valid, row_block=min(256, npad),
                 col_block=min(1024, npad))
         else:
-            attr = _attractive_forces(y, p_idx, p_val)
+            attr = _attractive_forces(y, p_idx, p_val, attr_packed)
             if grid > 0:
                 from ..ops.tsne_grid import grid_repulsion
                 rep, z = grid_repulsion(y, n_valid, grid)
@@ -367,6 +436,24 @@ class TsneComputation:
         if use_grid:
             self._use_dense_p = use_dense = False
             Log.info("t-SNE: grid-interpolated repulsion (N=%d)", n)
+            # the attraction gathers dominate the large-N tier (~100M
+            # gathered elements/s on v5e); cap the padded P width harder
+            # than the general 1024 cap.  Mean symmetrized nnz at 1M is
+            # ~47 (k=31), so top-64-by-probability keeps almost all
+            # attractive mass — only hub rows lose their faint tail.
+            gcap = int(os.environ.get("SPH_TSNE_GRID_P_WIDTH", "64"))
+            if gcap > 0 and self._p.width > gcap:
+                from ..ops.sparse import topk_rows
+                before = self._p.row_sums().sum()
+                self._p = topk_rows(self._p, gcap)
+                kept = self._p.row_sums().sum() / max(before, 1e-12)
+                Log.info("t-SNE grid tier: P width %d (%.2f%% mass kept)",
+                         gcap, 100.0 * kept)
+        # single-gather packed-bf16 neighbor fetch (see _attractive_forces):
+        # default on for the grid tier, forceable either way
+        packed_env = os.environ.get("SPH_TSNE_ATTR_PACKED", "auto")
+        self._attr_packed = (packed_env == "1"
+                             or (packed_env != "0" and use_grid))
 
         if use_dense:
             # tile for the fused kernel: col blocks of <=1024 lanes
@@ -466,7 +553,7 @@ class TsneComputation:
                 self._p_idx, self._p_val, jnp.int32(self._n),
                 self._params_vec(), step, self._block_eff,
                 self._use_pallas_eff, self._p_dense, self._use_dense_p,
-                self._current_grid())
+                self._current_grid(), getattr(self, "_attr_packed", False))
             if step < iterations:
                 # bound the in-flight program before the next dispatch
                 jax.block_until_ready(y)

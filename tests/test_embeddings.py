@@ -208,3 +208,37 @@ def test_tsne_grid_mode_quality(monkeypatch):
     assert cluster_separation(emb, labels) > 2.0
     # within a few % of the exact optimizer's KL
     assert kl_grid < kl_exact * 1.05 + 0.02
+
+
+def test_attractive_forces_chunked_parity(monkeypatch):
+    """Row-chunked sparse attraction (the >33M-entry tier that avoids the
+    multi-GB fusion buffers faulting the TPU runtime at N=1M, R=128) is
+    bit-identical to the single-fusion path."""
+    from sph_tpu.models.tsne import _attractive_forces
+
+    rng = np.random.default_rng(3)
+    n, w = 1003, 37
+    y = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
+    pi = rng.integers(0, n, (n, w)).astype(np.int32)
+    pi[rng.random((n, w)) < 0.1] = -1
+    pv = rng.random((n, w)).astype(np.float32)
+    pi_j, pv_j = jnp.asarray(pi), jnp.asarray(pv)
+
+    monkeypatch.setenv("SPH_TSNE_ATTR_FUSE_MAX", str(1 << 30))
+    fused = np.asarray(_attractive_forces(y, pi_j, pv_j))
+    monkeypatch.setenv("SPH_TSNE_ATTR_FUSE_MAX", "1")
+    _attractive_forces._clear_cache()
+    chunked = np.asarray(_attractive_forces(y, pi_j, pv_j))
+    _attractive_forces._clear_cache()
+    np.testing.assert_array_equal(fused, chunked)
+
+    # packed-bf16 single-gather tier: the neighbor position is quantized
+    # to bf16 (RTN), everything else identical — force error stays within
+    # a few bf16 ulps of the exact f32 result
+    packed = np.asarray(_attractive_forces(y, pi_j, pv_j, True))
+    _attractive_forces._clear_cache()
+    assert np.isfinite(packed).all()
+    scale = np.abs(fused).max()
+    err = np.abs(packed - fused) / scale
+    assert err.max() < 2e-2, err.max()
+    assert np.median(err) < 2e-3
