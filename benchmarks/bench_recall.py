@@ -53,9 +53,18 @@ def exact_query_knn(data: np.ndarray, q_ids: np.ndarray, k: int
 
     @jax.jit
     def run(q, db):
+        # HIGHEST precision is load-bearing: default-precision f32 dots
+        # multiply in bf16 on the MXU, and with clustered-data norms
+        # (~2000) the |q|^2+|db|^2-2qb expansion error reaches ~1 in d^2
+        # — enough to misrank ~6% of k-boundary neighbors.  A bf16 ground
+        # truth silently capped measured recall at 0.9394 for ANY index
+        # configuration (round-2's "assignment boundary effects" analysis
+        # was chasing this harness artifact; the IVF kernel itself always
+        # used HIGHEST).
         d2 = (jnp.sum(q * q, 1)[:, None] + jnp.sum(db * db, 1)[None, :]
               - 2.0 * jnp.dot(q, db.T,
-                              preferred_element_type=jnp.float32))
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST))
         _, ids = jax.lax.top_k(-d2, k)
         return ids
 
