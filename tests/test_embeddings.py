@@ -242,3 +242,34 @@ def test_attractive_forces_chunked_parity(monkeypatch):
     err = np.abs(packed - fused) / scale
     assert err.max() < 2e-2, err.max()
     assert np.median(err) < 2e-3
+
+
+def test_tsne_grid_tier_configuration(monkeypatch):
+    """The large-N tier wiring: grid mode activates above SPH_TSNE_GRID_MIN
+    and brings the P width cap + packed single-gather attraction with it;
+    below the threshold none of the three engage."""
+    p, _, _ = blob_probdist(n=300, k=24, seed=3)
+
+    monkeypatch.setenv("SPH_TSNE_GRID_MIN", "200")
+    monkeypatch.setenv("SPH_TSNE_GRID_P_WIDTH", "16")
+    t = TsneComputation(TsneParameters(num_iterations=1))
+    t.set_probability_distribution(p)
+    t._init_gradient_descent()
+    assert t._use_grid and t._attr_packed
+    assert t._p.width <= 16
+    # padded P width follows the cap (pow2 bucket)
+    assert t._p_idx.shape[1] <= 16
+
+    monkeypatch.setenv("SPH_TSNE_GRID_MIN", "100000")
+    t2 = TsneComputation(TsneParameters(num_iterations=1))
+    t2.set_probability_distribution(p)
+    t2._init_gradient_descent()
+    assert not t2._use_grid and not t2._attr_packed
+    assert t2._p.width > 16  # no grid-tier cap applied
+
+    # forcing packed works without grid mode
+    monkeypatch.setenv("SPH_TSNE_ATTR_PACKED", "1")
+    t3 = TsneComputation(TsneParameters(num_iterations=1))
+    t3.set_probability_distribution(p)
+    t3._init_gradient_descent()
+    assert t3._attr_packed and not t3._use_grid
