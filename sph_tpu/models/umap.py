@@ -19,6 +19,7 @@ but not bit-for-bit.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -83,42 +84,70 @@ def make_epochs_per_sample(weights: np.ndarray, n_epochs: int) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("neg_rate",))
 def _epoch_update(y, src, dst, eps, next_sample, epoch, alpha, a, b, key,
                   n_valid, neg_rate: int):
-    """One batched optimization epoch over all scheduled edges."""
-    active = next_sample <= epoch
+    """One batched optimization epoch over all scheduled edges.
 
-    ys = y[src]
-    yd = y[dst]
-    diff = ys - yd
-    d2 = jnp.sum(diff * diff, axis=1)
+    Split-coordinate formulation: all per-edge gathers/scatters are 1-D
+    (`y0[src]`, `y0.at[src].add`) — an [E, 2] gather output tile-pads the
+    minor dim 2 -> 128 on TPU (64x memory blowup; same pathology as the
+    t-SNE attraction, models/tsne.py `_neighbor_diffs`)."""
+    active = next_sample <= epoch
+    y0, y1 = y[:, 0], y[:, 1]
+
+    d0 = y0[src] - y0[dst]
+    d1 = y1[src] - y1[dst]
+    d2 = d0 * d0 + d1 * d1
 
     # attractive (umap-learn rdist gradient)
     gc = jnp.where(d2 > 0,
                    (-2.0 * a * b * d2 ** (b - 1.0))
                    / (a * d2 ** b + 1.0), 0.0)
-    delta = jnp.clip(gc[:, None] * diff, -4.0, 4.0)
-    delta = jnp.where(active[:, None], delta, 0.0)
-    y = y.at[src].add(alpha * delta)
-    y = y.at[dst].add(-alpha * delta)
+    amask = jnp.where(active, alpha, 0.0)
+    s0 = amask * jnp.clip(gc * d0, -4.0, 4.0)
+    s1 = amask * jnp.clip(gc * d1, -4.0, 4.0)
+    y0 = y0.at[src].add(s0).at[dst].add(-s0)
+    y1 = y1.at[src].add(s1).at[dst].add(-s1)
 
     # negative sampling: neg_rate random targets per active edge
     for r in range(neg_rate):
         k = jax.random.fold_in(key, r)
         negs = jax.random.randint(k, src.shape, 0, n_valid)
-        ysn = y[src]
-        yn = y[negs]
-        diff_n = ysn - yn
-        d2n = jnp.sum(diff_n * diff_n, axis=1)
+        n0 = y0[src] - y0[negs]
+        n1 = y1[src] - y1[negs]
+        d2n = n0 * n0 + n1 * n1
         gcn = (2.0 * b) / ((0.001 + d2n) * (a * d2n ** b + 1.0))
         # coincident negative pairs (d2n == 0) get the constant +4 push per
         # dimension, matching umap-learn's else-branch (gcn is always > 0
         # here, so branching on it would leave that arm dead)
-        delta_n = jnp.where((d2n > 0)[:, None],
-                            jnp.clip(gcn[:, None] * diff_n, -4.0, 4.0), 4.0)
-        hit_self = negs == src
-        delta_n = jnp.where((active & ~hit_self)[:, None], delta_n, 0.0)
-        y = y.at[src].add(alpha * delta_n)
+        pos = d2n > 0
+        dn0 = jnp.where(pos, jnp.clip(gcn * n0, -4.0, 4.0), 4.0)
+        dn1 = jnp.where(pos, jnp.clip(gcn * n1, -4.0, 4.0), 4.0)
+        nmask = jnp.where(active & (negs != src), alpha, 0.0)
+        y0 = y0.at[src].add(nmask * dn0)
+        y1 = y1.at[src].add(nmask * dn1)
 
     next_sample = jnp.where(active, next_sample + eps, next_sample)
+    return jnp.stack([y0, y1], axis=1), next_sample
+
+
+@functools.partial(jax.jit, static_argnames=("neg_rate", "epochs"))
+def _run_epochs_scan(y, src, dst, eps, next_sample, epoch0, n_epochs_total,
+                     initial_alpha, a, b, key, n_valid, neg_rate: int,
+                     epochs: int):
+    """`epochs` epoch updates fused into one device program (lax.scan):
+    per-epoch Python dispatch costs ~30-45 ms tunnel latency alone, which
+    dominates UMAP wall-clock at any size."""
+    def body(carry, i):
+        y, next_sample = carry
+        epoch = epoch0 + i
+        ef = epoch.astype(jnp.float32)
+        alpha = initial_alpha * (1.0 - ef / n_epochs_total)
+        y, next_sample = _epoch_update(
+            y, src, dst, eps, next_sample, ef, alpha, a, b,
+            jax.random.fold_in(key, epoch), n_valid, neg_rate)
+        return (y, next_sample), None
+
+    (y, next_sample), _ = jax.lax.scan(body, (y, next_sample),
+                                       jnp.arange(epochs), length=epochs)
     return y, next_sample
 
 
@@ -235,18 +264,30 @@ class UmapComputation:
         if not getattr(self, "_initialized", False):
             self.init_optimization()
         end = min(self.current_epoch + epochs, self._n_epochs)
+        # chunk epochs per device program: bounded in-flight work (the
+        # tunneled runtime kills long programs) while amortizing the
+        # per-dispatch latency over many epochs; same budget scheme as
+        # t-SNE's continue_gradient_descent
+        budget = int(os.environ.get("SPH_UMAP_DISPATCH_BUDGET",
+                                    str(1 << 24)))
+        cost = max(int(self._src.shape[0])
+                   * (1 + self.params.negative_sample_rate), 1)
+        per_dispatch = max(1, budget // cost)
         while self.current_epoch < end:
             if self._should_stop:
                 break
-            epoch = self.current_epoch
-            alpha = self.params.initial_alpha * (1.0 - epoch / self._n_epochs)
-            self._y, self._next_sample = _epoch_update(
+            step = min(per_dispatch, end - self.current_epoch)
+            self._y, self._next_sample = _run_epochs_scan(
                 self._y, self._src, self._dst, self._eps,
-                self._next_sample, jnp.float32(epoch), jnp.float32(alpha),
+                self._next_sample, jnp.int32(self.current_epoch),
+                jnp.float32(self._n_epochs),
+                jnp.float32(self.params.initial_alpha),
                 jnp.float32(self._a), jnp.float32(self._b),
-                jax.random.fold_in(self._key, epoch), jnp.int32(self._n),
-                self.params.negative_sample_rate)
-            self.current_epoch = epoch + 1
+                self._key, jnp.int32(self._n),
+                self.params.negative_sample_rate, step)
+            if self.current_epoch + step < end:
+                jax.block_until_ready(self._y)
+            self.current_epoch += step
         self._embedding = np.asarray(self._y)
 
     def compute(self):
