@@ -411,7 +411,9 @@ def knn_ivf(data: np.ndarray, k: int,
         empty = np.nonzero(counts0 == 0)[0]
         if len(empty) <= max(nlist // 200, 0):
             break
-        cents = np.asarray(cents_d)
+        # np.array (copy): np.asarray of a CPU-backend jax array is a
+        # zero-copy READ-ONLY view and the reseed assignment would crash
+        cents = np.array(cents_d)
         big = np.argsort(-counts0)[:max(len(empty), 1)]
         donors = rng.permutation(np.nonzero(np.isin(assign, big))[0])
         take = donors[:len(empty)] if len(donors) >= len(empty) else (

@@ -119,14 +119,22 @@ def sssp_fields(in_idx: np.ndarray, in_w: np.ndarray,
     return np.asarray(out)
 
 
-def compute_shortest_path(graph, start: int, end: int) -> float:
+def compute_shortest_path(graph, start: int, end: int,
+                          cache=None) -> float:
     """Single point-pair geodesic (reference: computeShortestPath,
     ShortestPath.cpp:100-166 — with the direct-neighbor early-out; the A* /
     Dijkstra fallback chain becomes one converged Bellman-Ford field).
 
+    cache: optional utils.distance_cache.DistanceCache bound to ``graph``
+    (the reference's opt-in DistanceCache, ShortestPath.cpp:41-42) — reuses
+    converged fields across repeated queries.
+
     Returns -1.0 when end is unreachable (the reference's cross-component
     sentinel)."""
     from .graph import KnnGraph
+
+    if cache is not None:
+        return cache.query(start, end)
 
     if isinstance(graph, KnnGraph):
         idx, dist = graph.indices, graph.distances

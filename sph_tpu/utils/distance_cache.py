@@ -1,0 +1,119 @@
+"""Field-level geodesic distance cache.
+
+Reference: sph/utils/DistanceCache.hpp:12-60 — a mutex-guarded hash map of
+scalar pair distances with symmetric lookup via tuple-half reordering,
+instantiated for shortest paths (ShortestPath.cpp:41-42) and component
+similarities (Similarities.cpp:33), with atomic hit/miss statistics
+(ShortestPath.cpp:18-35).
+
+TPU redesign: a per-pair scalar cache amortizes pointer-chasing A* calls;
+here one *converged SSSP field* answers every query from its source, so the
+cache unit is the whole [N] field, not the scalar.  The cache holds an LRU
+of fields plus the reverse-adjacency preprocessing shared by all of them,
+and a batched prefetch that computes all missing fields in ONE device
+dispatch (the idiomatic way to fill it).  Symmetric lookup — the
+reference's tuple reordering — falls out of the symmetrized graph: a cached
+field for either endpoint answers the pair.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Optional
+
+import numpy as np
+
+
+class DistanceCache:
+    """LRU of SSSP distance fields over one graph.
+
+    max_fields bounds resident memory (the reference's maxSize guard,
+    DistanceCache.hpp:27) at ``max_fields * N * 4`` bytes.
+    """
+
+    def __init__(self, graph, max_fields: int = 64):
+        from ..ops.shortest_path import build_reverse_adjacency
+        from ..ops.graph import KnnGraph
+
+        if isinstance(graph, KnnGraph):
+            idx, dist = graph.indices, graph.distances
+            mask = np.ones_like(idx, dtype=bool)
+        else:
+            idx, dist, mask = graph.indices, graph.distances, graph.mask
+        self._idx, self._dist, self._mask = idx, dist, mask
+        self._in_idx, self._in_w = build_reverse_adjacency(idx, dist, mask)
+        self._n = int(idx.shape[0])
+        self.max_fields = max(1, int(max_fields))
+        self._fields: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+        self.evictions = 0
+
+    # -- field management ---------------------------------------------------
+
+    def _insert(self, source: int, field: np.ndarray) -> None:
+        self._fields[source] = field
+        self._fields.move_to_end(source)
+        while len(self._fields) > self.max_fields:
+            self._fields.popitem(last=False)
+            self.evictions += 1
+
+    def field(self, source: int) -> np.ndarray:
+        """The [N] distance field from ``source`` (unreachable = +inf)."""
+        source = int(source)
+        cached = self._fields.get(source)
+        if cached is not None:
+            self.hits += 1
+            self._fields.move_to_end(source)
+            return cached
+        self.misses += 1
+        from ..ops.shortest_path import sssp_fields
+        out = sssp_fields(self._in_idx, self._in_w,
+                          np.array([[source]], dtype=np.int64))[0]
+        self._insert(source, out)
+        return out
+
+    def prefetch(self, sources) -> None:
+        """Compute all missing fields in one batched device dispatch."""
+        from ..ops.shortest_path import sssp_fields
+        missing = [int(s) for s in np.unique(np.asarray(sources, np.int64))
+                   if int(s) not in self._fields]
+        if not missing:
+            return
+        self.misses += len(missing)
+        fields = sssp_fields(self._in_idx, self._in_w,
+                             np.asarray(missing, np.int64)[:, None])
+        for s, f in zip(missing, fields):
+            self._insert(s, f)
+
+    # -- queries ------------------------------------------------------------
+
+    def query(self, start: int, end: int) -> float:
+        """Pair geodesic with the reference's query ladder
+        (ShortestPath.cpp:100-166): trivial pair, direct-neighbor early-out,
+        cache lookup (either endpoint's field — symmetric), field compute.
+        Returns -1.0 when unreachable (the cross-component sentinel)."""
+        start, end = int(start), int(end)
+        if start == end:
+            return 0.0
+        row = self._idx[start][self._mask[start]]
+        hit = np.nonzero(row == end)[0]
+        if hit.size:
+            self.hits += 1
+            return float(self._dist[start][self._mask[start]][hit[0]])
+        cached = self._fields.get(end)  # symmetric: field(end)[start]
+        if cached is not None and start not in self._fields:
+            self.hits += 1
+            self._fields.move_to_end(end)
+            d = float(cached[start])
+            return d if np.isfinite(d) else -1.0
+        d = float(self.field(start)[end])
+        return d if np.isfinite(d) else -1.0
+
+    def stats(self) -> dict:
+        """Hit/miss counters (reference: ShortestPath.cpp:18-35)."""
+        total = self.hits + self.misses
+        return {"hits": self.hits, "misses": self.misses,
+                "evictions": self.evictions,
+                "resident_fields": len(self._fields),
+                "hit_rate": (self.hits / total) if total else 0.0}
