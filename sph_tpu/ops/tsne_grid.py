@@ -90,41 +90,22 @@ def _kernel_grids(hx: jax.Array, hy: jax.Array, grid: int):
     return k2, k1
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "chunk"))
-def grid_repulsion(y: jax.Array, n_valid, grid: int, chunk: int = 0):
-    """Approximate Student-t repulsion via kernel-interpolated grid
-    convolution.  Returns (rep [Np, 2], Z) with the same semantics as the
-    exact `_repulsive_forces` (models/tsne.py): rep_i = sum_j k2 (y_i-y_j),
-    Z = sum_{i != j} k1.  Pad rows (>= n_valid) carry no charge and get
-    zero force."""
-    npad = y.shape[0]
-    if chunk <= 0:
-        chunk = max(min(npad, (1 << 24) // grid), 1024)
-    cpad = _ceil_to(npad, chunk)
-    yp = jnp.pad(y, ((0, cpad - npad), (0, 0)))
-    nchunks = cpad // chunk
-
-    row_ids = jnp.arange(cpad, dtype=jnp.int32)
-    valid = row_ids < n_valid
-
-    # bbox over valid rows; degenerate spans guarded
-    big = jnp.float32(3.4e38)
-    vx = jnp.where(valid, yp[:, 0], big)
-    vy = jnp.where(valid, yp[:, 1], big)
-    lo_x = jnp.min(vx)
-    lo_y = jnp.min(vy)
-    hi_x = jnp.max(jnp.where(valid, yp[:, 0], -big))
-    hi_y = jnp.max(jnp.where(valid, yp[:, 1], -big))
-    usable = jnp.float32(grid - 2 * _MARGIN - 1)
-    hx = jnp.maximum((hi_x - lo_x) / usable, 1e-6)
-    hy = jnp.maximum((hi_y - lo_y) / usable, 1e-6)
-
+def grid_coords(yp: jax.Array, valid: jax.Array, lo_x, lo_y, hx, hy,
+                grid: int):
+    """Continuous grid coordinates for points; pad/invalid rows park at the
+    margin (zero charge keeps them inert)."""
     tx_all = (yp[:, 0] - lo_x) / hx + _MARGIN
     ty_all = (yp[:, 1] - lo_y) / hy + _MARGIN
-    # pad/invalid rows park at the margin with zero charge
     tx_all = jnp.where(valid, tx_all, jnp.float32(_MARGIN))
     ty_all = jnp.where(valid, ty_all, jnp.float32(_MARGIN))
+    return tx_all, ty_all
 
+
+def deposit_charges(yp: jax.Array, tx_all: jax.Array, ty_all: jax.Array,
+                    valid: jax.Array, grid: int, chunk: int) -> jax.Array:
+    """[3, G, G] charge grids (unit, x, y) via chunked MXU deposits.
+    Row count must be a multiple of ``chunk``."""
+    nchunks = yp.shape[0] // chunk
     chunk_ids = jnp.arange(nchunks)
 
     def deposit(cb):
@@ -144,9 +125,12 @@ def grid_repulsion(y: jax.Array, n_valid, grid: int, chunk: int = 0):
                        precision=jax.lax.Precision.HIGHEST)  # [G, 3G]
 
     charges = jnp.sum(jax.lax.map(deposit, chunk_ids), axis=0)
-    charges = charges.reshape(grid, 3, grid).transpose(1, 0, 2)  # [3, G, G]
+    return charges.reshape(grid, 3, grid).transpose(1, 0, 2)  # [3, G, G]
 
-    # FFT convolution on the zero-padded [2G, 2G] grid
+
+def field_matrix(charges: jax.Array, hx, hy, grid: int) -> jax.Array:
+    """FFT-convolve [3, G, G] charges with the exact kernels sampled at
+    grid offsets -> [G, 4G] field matrix (unit/yx/yy of k2, unit of k1)."""
     two_g = 2 * grid
     k2g, k1g = _kernel_grids(hx, hy, grid)
     cpadded = jnp.zeros((3, two_g, two_g), jnp.float32)
@@ -159,7 +143,15 @@ def grid_repulsion(y: jax.Array, n_valid, grid: int, chunk: int = 0):
     phi_k1 = jnp.fft.irfft2(cf[0] * k1f, s=(two_g, two_g))[
         None, :grid, :grid]                    # [1, G, G]: unit
     fields = jnp.concatenate([phi_k2, phi_k1], axis=0)  # [4, G, G]
-    v_mat = fields.transpose(1, 0, 2).reshape(grid, 4 * grid)
+    return fields.transpose(1, 0, 2).reshape(grid, 4 * grid)
+
+
+def interpolate_fields(v_mat: jax.Array, tx_all: jax.Array,
+                       ty_all: jax.Array, grid: int,
+                       chunk: int) -> jax.Array:
+    """Sample the [G, 4G] field matrix back at the point positions ->
+    [rows, 4] (phi0, phi_yx, phi_yy, phi_z)."""
+    nchunks = tx_all.shape[0] // chunk
 
     def interpolate(cb):
         s = cb * chunk
@@ -174,7 +166,42 @@ def grid_repulsion(y: jax.Array, n_valid, grid: int, chunk: int = 0):
         t = t.reshape(chunk, 4, grid)
         return jnp.sum(t * wx[:, None, :], axis=2)        # [c, 4]
 
-    f = jax.lax.map(interpolate, chunk_ids).reshape(cpad, 4)
+    return jax.lax.map(interpolate,
+                       jnp.arange(nchunks)).reshape(tx_all.shape[0], 4)
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "chunk"))
+def grid_repulsion(y: jax.Array, n_valid, grid: int, chunk: int = 0):
+    """Approximate Student-t repulsion via kernel-interpolated grid
+    convolution.  Returns (rep [Np, 2], Z) with the same semantics as the
+    exact `_repulsive_forces` (models/tsne.py): rep_i = sum_j k2 (y_i-y_j),
+    Z = sum_{i != j} k1.  Pad rows (>= n_valid) carry no charge and get
+    zero force."""
+    npad = y.shape[0]
+    if chunk <= 0:
+        chunk = max(min(npad, (1 << 24) // grid), 1024)
+    cpad = _ceil_to(npad, chunk)
+    yp = jnp.pad(y, ((0, cpad - npad), (0, 0)))
+
+    row_ids = jnp.arange(cpad, dtype=jnp.int32)
+    valid = row_ids < n_valid
+
+    # bbox over valid rows; degenerate spans guarded
+    big = jnp.float32(3.4e38)
+    vx = jnp.where(valid, yp[:, 0], big)
+    vy = jnp.where(valid, yp[:, 1], big)
+    lo_x = jnp.min(vx)
+    lo_y = jnp.min(vy)
+    hi_x = jnp.max(jnp.where(valid, yp[:, 0], -big))
+    hi_y = jnp.max(jnp.where(valid, yp[:, 1], -big))
+    usable = jnp.float32(grid - 2 * _MARGIN - 1)
+    hx = jnp.maximum((hi_x - lo_x) / usable, 1e-6)
+    hy = jnp.maximum((hi_y - lo_y) / usable, 1e-6)
+
+    tx_all, ty_all = grid_coords(yp, valid, lo_x, lo_y, hx, hy, grid)
+    charges = deposit_charges(yp, tx_all, ty_all, valid, grid, chunk)
+    v_mat = field_matrix(charges, hx, hy, grid)
+    f = interpolate_fields(v_mat, tx_all, ty_all, grid, chunk)
     phi0 = f[:, 0]
     phi_yx = f[:, 1]
     phi_yy = f[:, 2]

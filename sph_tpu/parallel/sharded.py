@@ -222,6 +222,145 @@ def sharded_tsne(p_indices: np.ndarray, p_values: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# sharded grid t-SNE (the large-N tier across chips)
+# ---------------------------------------------------------------------------
+
+def make_sharded_grid_tsne_step(mesh: Mesh, grid: int, axis: str = "data",
+                                chunk: int = 0):
+    """Multi-chip step for the grid-interpolated large-N tier
+    (ops/tsne_grid.py).
+
+    Decomposition: rows (points) shard over ``axis``.  Each chip deposits
+    its shard's charges onto the [3, G, G] grid locally (chunked MXU
+    matmuls), the grids are `psum`-reduced over ICI (the only O(G^2)
+    collective — 3*G^2 floats, independent of N), every chip runs the
+    small replicated FFT convolution, and interpolation/update stay local.
+    Attraction all_gathers y (8 MB at 1M points) exactly like
+    `make_sharded_tsne_step`.
+    """
+    from ..ops.tsne_grid import (deposit_charges, field_matrix, grid_coords,
+                                 interpolate_fields, _MARGIN)
+
+    def _step(y, vel, gain, p_idx, p_val, n_valid, params_vec, it):
+        (eta, mom0, mom1, mom_switch, exag_f, remove_exag, decay_iter,
+         min_gain) = [params_vec[i] for i in range(8)]
+        shard_n = y.shape[0]
+        my_idx = jax.lax.axis_index(axis)
+        row0 = my_idx * shard_n
+        rows = row0 + jnp.arange(shard_n, dtype=jnp.int32)
+        valid = rows < n_valid
+
+        # global bbox over valid rows (pmin/pmax ride ICI)
+        big = jnp.float32(3.4e38)
+        lo_x = jax.lax.pmin(jnp.min(jnp.where(valid, y[:, 0], big)), axis)
+        lo_y = jax.lax.pmin(jnp.min(jnp.where(valid, y[:, 1], big)), axis)
+        hi_x = jax.lax.pmax(jnp.max(jnp.where(valid, y[:, 0], -big)), axis)
+        hi_y = jax.lax.pmax(jnp.max(jnp.where(valid, y[:, 1], -big)), axis)
+        usable = jnp.float32(grid - 2 * _MARGIN - 1)
+        hx = jnp.maximum((hi_x - lo_x) / usable, 1e-6)
+        hy = jnp.maximum((hi_y - lo_y) / usable, 1e-6)
+
+        c = chunk if chunk > 0 else max(
+            min(shard_n, (1 << 24) // grid), 1024)
+        if shard_n % c != 0:
+            c = shard_n
+        tx, ty = grid_coords(y, valid, lo_x, lo_y, hx, hy, grid)
+        charges = deposit_charges(y, tx, ty, valid, grid, c)
+        charges = jax.lax.psum(charges, axis)
+        v_mat = field_matrix(charges, hx, hy, grid)
+        f = interpolate_fields(v_mat, tx, ty, grid, c)
+        phi0, phi_yx, phi_yy, phi_z = f[:, 0], f[:, 1], f[:, 2], f[:, 3]
+        rep = jnp.stack([y[:, 0] * phi0 - phi_yx,
+                         y[:, 1] * phi0 - phi_yy], axis=1)
+        rep = jnp.where(valid[:, None], rep, 0.0)
+        z = jax.lax.psum(jnp.sum(jnp.where(valid, phi_z, 0.0)), axis)
+        z = jnp.maximum(z - n_valid.astype(jnp.float32), 1e-12)
+
+        # attraction over local P rows (global column ids)
+        y_full = jax.lax.all_gather(y, axis, tiled=True)
+        yj = y_full[jnp.maximum(p_idx, 0)]
+        diff = y[:, None, :] - yj
+        dd = jnp.sum(diff * diff, axis=-1)
+        wat = 1.0 / (1.0 + dd)
+        coef = jnp.where(p_idx >= 0, p_val * wat, 0.0)
+        attr = jnp.sum(coef[:, :, None] * diff, axis=1)
+
+        itf = it.astype(jnp.float32)
+        decay = jnp.exp(-4.6 * jnp.maximum(itf - remove_exag, 0.0)
+                        / jnp.maximum(decay_iter, 1.0))
+        exag = 1.0 + (exag_f - 1.0) * jnp.where(itf < remove_exag, 1.0,
+                                                decay)
+        momentum = jnp.where(itf < mom_switch, mom0, mom1)
+
+        grad = 4.0 * (exag * attr - rep / z)
+        same = jnp.sign(grad) == jnp.sign(vel)
+        gain = jnp.maximum(jnp.where(same, gain * 0.8, gain + 0.2),
+                           min_gain)
+        vel = momentum * vel - eta * gain * grad
+        y = y + vel
+        row_ok = valid[:, None]
+        y = jnp.where(row_ok, y, 0.0)
+        mean = jax.lax.psum(jnp.sum(y, axis=0), axis) / jnp.maximum(
+            n_valid.astype(jnp.float32), 1.0)
+        y = jnp.where(row_ok, y - mean[None, :], 0.0)
+        return y, vel, gain
+
+    step = shard_map(
+        _step, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                  P(axis, None), P(axis, None), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None)))
+    return jax.jit(step)
+
+
+def sharded_grid_tsne(p_indices: np.ndarray, p_values: np.ndarray,
+                      num_iterations: int, mesh: Optional[Mesh] = None,
+                      axis: str = "data", seed: int = 0,
+                      grid: int = 0, params=None) -> np.ndarray:
+    """Full multi-chip grid-tier t-SNE (P = symmetrized joint rows,
+    normalized to total sum 1).  grid=0 picks the size from the init
+    radius like the single-chip tier."""
+    from ..models.tsne import TsneParameters, default_exaggeration
+    from ..ops.tsne_grid import pick_grid_size
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    n, r = p_indices.shape
+    npad = ((n + (8 * n_dev) - 1) // (8 * n_dev)) * (8 * n_dev)
+
+    params = params or TsneParameters()
+    params.exaggeration_factor = default_exaggeration(n)
+    pvec = jnp.asarray([params.eta, params.momentum, params.final_momentum,
+                        params.mom_switching_iter,
+                        params.exaggeration_factor,
+                        params.remove_exaggeration_iter,
+                        params.exponential_decay_iter,
+                        params.minimum_gain], jnp.float32)
+
+    from ..ops.math import random_disk_init
+    y0 = np.zeros((npad, 2), np.float32)
+    y0[:n] = random_disk_init(n, 0.1, seed)
+    if grid <= 0:
+        grid = pick_grid_size(float(np.ptp(y0[:n]).max()) + 1.0)
+    pi = np.full((npad, r), -1, np.int32)
+    pv = np.zeros((npad, r), np.float32)
+    pi[:n] = p_indices
+    pv[:n] = p_values / max(p_values.sum(), 1e-12)
+
+    y = shard_rows(mesh, jnp.asarray(y0), axis)
+    vel = shard_rows(mesh, jnp.zeros((npad, 2), jnp.float32), axis)
+    gain = shard_rows(mesh, jnp.ones((npad, 2), jnp.float32), axis)
+    pi_s = shard_rows(mesh, jnp.asarray(pi), axis)
+    pv_s = shard_rows(mesh, jnp.asarray(pv), axis)
+
+    step = make_sharded_grid_tsne_step(mesh, grid, axis)
+    for it in range(num_iterations):
+        y, vel, gain = step(y, vel, gain, pi_s, pv_s, jnp.int32(n), pvec,
+                            jnp.int32(it))
+    return np.asarray(y)[:n]
+
+
+# ---------------------------------------------------------------------------
 # multi-scene batched embedding (BASELINE config #5)
 # ---------------------------------------------------------------------------
 

@@ -143,3 +143,57 @@ def test_sharded_umap_finite_and_clustered():
     c1 = emb[lab == 1].mean(0)
     spread0 = np.linalg.norm(emb[lab == 0] - c0, axis=1).mean()
     assert np.linalg.norm(c0 - c1) > spread0
+
+
+def test_sharded_grid_tsne_matches_single_device():
+    """Grid-tier decomposition check: psum'd per-shard charge deposits +
+    replicated FFT must reproduce the 1-device trajectory (identical math,
+    different reduction layout)."""
+    import jax.numpy as jnp
+    from sph_tpu.parallel.sharded import make_sharded_grid_tsne_step
+    from sph_tpu.parallel.mesh import shard_rows
+    from sph_tpu.models.tsne import TsneParameters, default_exaggeration
+    from sph_tpu.ops.math import random_disk_init
+
+    p, labels = probdist()
+    n, npad, grid = p.num_rows, 96, 32
+    params = TsneParameters()
+    params.exaggeration_factor = default_exaggeration(n)
+    pvec = jnp.asarray(
+        [params.eta, params.momentum, params.final_momentum,
+         params.mom_switching_iter, params.exaggeration_factor,
+         params.remove_exaggeration_iter, params.exponential_decay_iter,
+         params.minimum_gain], jnp.float32)
+    y0 = random_disk_init(n, 0.1, 0)
+    pi = p.indices.astype(np.int32)
+    pv = (p.values / p.values.sum()).astype(np.float32)
+
+    outs = []
+    for ndev in (1, 8):
+        mesh = make_mesh(ndev)
+        step = make_sharded_grid_tsne_step(mesh, grid)
+        y = shard_rows(mesh, jnp.asarray(y0))
+        vel = shard_rows(mesh, jnp.zeros((npad, 2), jnp.float32))
+        gain = shard_rows(mesh, jnp.ones((npad, 2), jnp.float32))
+        pis = shard_rows(mesh, jnp.asarray(pi))
+        pvs = shard_rows(mesh, jnp.asarray(pv))
+        for it in range(5):
+            y, vel, gain = step(y, vel, gain, pis, pvs, jnp.int32(n),
+                                pvec, jnp.int32(it))
+        outs.append(np.asarray(y))
+    scale = np.abs(outs[0]).max()
+    assert np.abs(outs[0] - outs[1]).max() < 1e-3 * max(scale, 1.0)
+
+
+def test_sharded_grid_tsne_finite_and_separates():
+    from sph_tpu.parallel.sharded import sharded_grid_tsne
+    p, labels = probdist()
+    mesh = make_mesh()
+    emb = sharded_grid_tsne(p.indices, p.values, 150, mesh, grid=32)
+    assert emb.shape == (96, 2)
+    assert np.all(np.isfinite(emb))
+    cents = np.stack([emb[labels == c].mean(0) for c in range(2)])
+    intra = np.mean([np.linalg.norm(emb[labels == c] - cents[c],
+                                    axis=1).mean() for c in range(2)])
+    inter = np.linalg.norm(cents[0] - cents[1])
+    assert inter / intra > 1.5
