@@ -353,10 +353,27 @@ def sharded_grid_tsne(p_indices: np.ndarray, p_values: np.ndarray,
     pi_s = shard_rows(mesh, jnp.asarray(pi), axis)
     pv_s = shard_rows(mesh, jnp.asarray(pv), axis)
 
-    step = make_sharded_grid_tsne_step(mesh, grid, axis)
-    for it in range(num_iterations):
-        y, vel, gain = step(y, vel, gain, pi_s, pv_s, jnp.int32(n), pvec,
-                            jnp.int32(it))
+    # The embedding span grows ~30x over a run while the kernel width stays
+    # ~1, so a grid picked at init degenerates (cells wider than the kernel
+    # curvature).  Mirror the single-chip tier: re-pick the pow2-bucketed
+    # grid from the live span between iteration chunks; compiled steps are
+    # cached per grid size.
+    fixed_grid = grid > 0
+    steps: dict = {}
+    regrid_every = 50
+    it = 0
+    while it < num_iterations:
+        if not fixed_grid:
+            span = float(jnp.max(jnp.max(y, axis=0) - jnp.min(y, axis=0)))
+            grid = pick_grid_size(max(span, 1.0) * 1.3)
+        if grid not in steps:
+            steps[grid] = make_sharded_grid_tsne_step(mesh, grid, axis)
+        step = steps[grid]
+        stop = min(it + regrid_every, num_iterations)
+        while it < stop:
+            y, vel, gain = step(y, vel, gain, pi_s, pv_s, jnp.int32(n),
+                                pvec, jnp.int32(it))
+            it += 1
     return np.asarray(y)[:n]
 
 
