@@ -6,12 +6,14 @@ over a `jax.sharding.Mesh` with ICI collectives instead of threads.
 """
 
 from .mesh import make_mesh, replicate, shard_rows
-from .sharded import (make_sharded_tsne_step, make_sharded_umap_epoch,
-                      multi_scene_tsne, sharded_knn, sharded_tsne,
+from .sharded import (make_sharded_grid_tsne_step, make_sharded_tsne_step,
+                      make_sharded_umap_epoch, multi_scene_tsne,
+                      sharded_grid_tsne, sharded_knn, sharded_tsne,
                       sharded_umap)
 
 __all__ = [
     "make_mesh", "replicate", "shard_rows",
-    "make_sharded_tsne_step", "make_sharded_umap_epoch",
-    "multi_scene_tsne", "sharded_knn", "sharded_tsne", "sharded_umap",
+    "make_sharded_grid_tsne_step", "make_sharded_tsne_step",
+    "make_sharded_umap_epoch", "multi_scene_tsne", "sharded_grid_tsne",
+    "sharded_knn", "sharded_tsne", "sharded_umap",
 ]
