@@ -185,6 +185,17 @@ def test_sharded_grid_tsne_matches_single_device():
     assert np.abs(outs[0] - outs[1]).max() < 1e-3 * max(scale, 1.0)
 
 
+def test_sharded_grid_tsne_auto_regrid():
+    """grid=0 re-buckets the node count from the live span between
+    iteration chunks (the long-run stability fix: a grid sized at init
+    degenerates once the embedding expands past the kernel width)."""
+    from sph_tpu.parallel.sharded import sharded_grid_tsne
+    p, labels = probdist()
+    emb = sharded_grid_tsne(p.indices, p.values, 60, make_mesh())
+    assert emb.shape == (96, 2)
+    assert np.all(np.isfinite(emb))
+
+
 def test_sharded_grid_tsne_finite_and_separates():
     from sph_tpu.parallel.sharded import sharded_grid_tsne
     p, labels = probdist()
