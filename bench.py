@@ -180,8 +180,10 @@ def main():
     # compile pass: traces + compiles every kernel (persistent cache makes
     # later processes cheap); the measured passes below are pure execution.
     # cold_total_s = what a fresh machine pays end-to-end including compiles.
+    from sph_tpu.utils.compile_count import count_compiles
     t0 = time.perf_counter()
-    ch = build()
+    with count_compiles() as cc_hier:
+        ch = build()
     compile_hierarchy_s = time.perf_counter() - t0
 
     h = ch.image_hierarchy.hierarchy
@@ -192,7 +194,8 @@ def main():
     emb_settings.tsne.num_iterations = tsne_iters
     ce = ComputeEmbedding(emb_settings)
     t1 = time.perf_counter()
-    emb = ce.compute_tsne(pd, track_kl=True)
+    with count_compiles() as cc_tsne:
+        emb = ce.compute_tsne(pd, track_kl=True)
     compile_tsne_s = time.perf_counter() - t1
 
     # measured passes (kernels compiled); best of N — the tunneled host's
@@ -236,6 +239,12 @@ def main():
             "compile_hierarchy_s": round(compile_hierarchy_s, 3),
             "compile_tsne_s": round(compile_tsne_s, 3),
             "cold_total_s": round(compile_hierarchy_s + compile_tsne_s, 3),
+            # distinct (program, shape) executables the compile pass loads
+            # (persistent-cache hits included — they are shapes that exist)
+            "compiled_programs_hierarchy": cc_hier.total,
+            "compiled_programs_tsne": cc_tsne.total,
+            "persistent_cache_hits": (cc_hier.persistent_hits
+                                      + cc_tsne.persistent_hits),
             "device": str(jax.devices()[0]),
             "device_tag": os.environ.get("BENCH_DEVICE_TAG", "primary"),
         },
