@@ -54,7 +54,8 @@ def main():
     channels = int(os.environ.get("GEO_CHANNELS", 224))
     n_pairs = int(os.environ.get("GEO_PAIRS", 200))
     n_samples = int(os.environ.get("GEO_SAMPLES", 6))
-    k = 31
+    # comparison_rgb_bus_geo.json runs nKnns=90 (k=91 with self) on RGB
+    k = int(os.environ.get("GEO_K", 31))
 
     img = create_hyperspectral_scene(rows, cols, channels, seed=13)
     stack = ImageStack.from_array(img, name="salinas_synth")
