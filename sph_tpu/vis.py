@@ -97,7 +97,8 @@ def plot_knn_edges(points: np.ndarray, indices: np.ndarray,
     from matplotlib.collections import LineCollection
     ax.add_collection(LineCollection(segs, colors="0.7", linewidths=0.3))
     ax.scatter(p2[:, 0], p2[:, 1], c=colors if colors is not None else "k",
-               s=4, cmap="viridis", zorder=2, linewidths=0)
+               s=4, cmap="viridis" if colors is not None else None,
+               zorder=2, linewidths=0)
     ax.set_aspect("equal")
     ax.axis("off")
     fig.tight_layout()
