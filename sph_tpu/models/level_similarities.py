@@ -392,6 +392,8 @@ class LevelSimilarities:
         for i, pd in enumerate(self.prob_dists):
             if pd is None:
                 continue
+            Log.info("symmetrizeOutput: level %d rows=%d width=%d",
+                     i, pd.num_rows, pd.width)
             if method == NormalizationScheme.TSNE:
                 self.prob_dists[i] = symmetrize_tsne(pd)
             elif method == NormalizationScheme.UMAP:

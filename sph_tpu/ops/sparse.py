@@ -675,6 +675,27 @@ def pairwise_similarities(sr: SparseRows, k: int,
     """
     n = sr.num_rows
     k = min(k, max(n - 1, 1))
+
+    # Wide merged-walk rows (observed 4,971 at Salinas level 1) put a
+    # ~[29k, 8192]-padded working set plus [block, C] densify scatters on
+    # the worker, which faults the tunneled TPU runtime (same pathology as
+    # the 1M-row fused gathers — see docs/performance.md "row-chunked
+    # dispatch").  Cap the input rows to their top-W entries by value and
+    # renormalize: rows are probability rows, so truncating the faint tail
+    # rescales every Bhattacharyya coefficient by ~the kept mass — a
+    # near-uniform additive shift of -log(BC) that preserves bottom-k
+    # ranks.  Mirrors the reference's own walk pruning
+    # (SparseMatrixAlgorithms.cpp:223-267) and the validated t-SNE P cap.
+    import os
+    cap = int(os.environ.get("SPH_PAIRWISE_WIDTH", "2048"))
+    if cap > 0 and sr.width > cap:
+        orig_width = sr.width
+        capped = topk_rows(sr, cap)
+        ci, cv = capped.device()
+        sr = SparseRows(ci, _normalize_rows_dev(ci, cv), sr.num_cols)
+        Log.info("pairwise_similarities: capped row width %d -> %d",
+                 orig_width, sr.width)
+
     block_eff = min(block, max(8, n))
     npad = ((n + block_eff - 1) // block_eff) * block_eff
 
@@ -789,10 +810,15 @@ def _symmetrize_p_dev(indices: jax.Array, values: jax.Array,
     valid = (indices >= 0) & (values != 0.0)
 
     # reverse entries (target_row = col, col = source_row), globally sorted
+    # by (target_row, value DESC): when width_rev overflows on extreme hub
+    # columns, the kept slots are the LARGEST reverse values, so a bounded
+    # width_rev degrades by shedding only the faintest tail (the slot
+    # order within a row is irrelevant — the lane combine below re-sorts)
     rr = jnp.where(valid, indices, sentinel).reshape(-1)
     rc = jnp.where(valid, rows, 0).reshape(-1)
     rv = jnp.where(valid, values, 0.0).reshape(-1)
-    r1, c1, v1 = jax.lax.sort((rr, rc, rv), num_keys=2, is_stable=True)
+    r1, _, c1, v1 = jax.lax.sort((rr, -rv, rc, rv), num_keys=2,
+                                 is_stable=True)
 
     iota = jnp.arange(e, dtype=jnp.int32)
     row_ok = r1 < sentinel
@@ -842,16 +868,46 @@ def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
     probe this replaces was 1.2 s of scatter-adds at Pines level-0
     scale)."""
     from .bucketing import next_pow2
+    import os
+
+    # Memory gate for hub-padded giants: the flat-COO restructuring sorts
+    # n*width elements and allocates [n, 2*width]-wide reverse/concat
+    # buffers — at Salinas level 0 ([111k, 1024], mean nnz ~62, the rest
+    # hub padding + Gaussian tails ~e^-40) that transient set exhausts the
+    # 16 GB chip.  Rows are perplexity-normalized (effective support
+    # ~3*perp <= 300), so top-256-by-value keeps essentially all mass.
+    # Applied ONLY above the element budget: small inputs stay
+    # bit-identical to the uncapped path.
+    budget = int(os.environ.get("SPH_SYM_FLAT_BUDGET", str(48 * 2**20)))
+    wcap = int(os.environ.get("SPH_SYM_P_WIDTH_CAP", "256"))
+    if 0 < wcap < sr.width and sr.num_rows * sr.width > budget:
+        orig_w = sr.width
+        capped = topk_rows(sr, wcap)
+        ci, cv = capped.device()
+        sr = SparseRows(ci, _normalize_rows_dev(ci, cv), sr.num_cols)
+        Log.info("symmetrize: capped row width %d -> %d (row budget)",
+                 orig_w, sr.width)
+
     idx_d, val_d = sr.device()
     n = sr.num_rows
-    wrev = next_pow2(max(2 * sr.width, 64))
+    # bound the reverse width: hub columns can have in-degree near n, and
+    # the [n, wrev] reverse/concat buffers at that extent exhaust HBM.
+    # Beyond the cap the kernel keeps the top-wrev reverse entries by
+    # value (see the (row, value-desc) flat sort) — only the faintest
+    # tail of extreme hub rows is shed, mirroring the downstream P cap.
+    wrev_max = min(int(os.environ.get("SPH_SYM_WREV_MAX", "1024")),
+                   next_pow2(n))
+    wrev = min(next_pow2(max(2 * sr.width, 64)), max(wrev_max, 64))
     while True:
         oi, ov, counts, rev_lost = _symmetrize_p_dev(idx_d, val_d, wrev,
                                                      mode)
         probe = np.asarray(jnp.stack([jnp.max(counts), rev_lost]))
-        if int(probe[1]) == 0 or wrev >= n:
+        if int(probe[1]) == 0 or wrev >= min(n, wrev_max):
+            if int(probe[1]) > 0:
+                Log.info("symmetrize: wrev cap %d sheds %d faint reverse "
+                         "entries of hub rows", wrev, int(probe[1]))
             break
-        wrev = min(next_pow2(wrev * 2), next_pow2(n))
+        wrev = min(next_pow2(wrev * 2), next_pow2(n), wrev_max)
     need = int(probe[0]) if n else 1
     w = min(next_pow2(max(need, 1)), oi.shape[1])
     return SparseRows(oi[:, :w], ov[:, :w], sr.num_cols)

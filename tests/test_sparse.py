@@ -147,6 +147,31 @@ def test_pairwise_similarities_vs_naive():
         assert np.allclose(got, exp, atol=1e-4), i
 
 
+def test_pairwise_similarities_width_cap(monkeypatch):
+    """SPH_PAIRWISE_WIDTH caps wide walk rows before the blocked product
+    (the uncapped [29k, 8192] working set faults the tunneled TPU worker);
+    on structured walk-like rows the capped result is numerically the
+    uncapped one."""
+    from sph_tpu.ops.sparse import SparseRows
+
+    n, w = 256, 96
+    rng = np.random.default_rng(3)
+    offs = np.arange(w) - w // 2
+    idx = (np.arange(n)[:, None] + offs[None, :]) % n
+    order = np.argsort(idx, axis=1)
+    idx = np.take_along_axis(idx, order, 1).astype(np.int32)
+    base = np.exp(-np.abs(offs) / 4.0)[None, :] * (0.5 + rng.random((n, w)))
+    val = np.take_along_axis(base, order, 1).astype(np.float32)
+    val /= val.sum(1, keepdims=True)
+
+    monkeypatch.setenv("SPH_PAIRWISE_WIDTH", "0")
+    ref = pairwise_similarities(SparseRows(idx, val, n), k=7, block=32)
+    monkeypatch.setenv("SPH_PAIRWISE_WIDTH", "64")
+    cap = pairwise_similarities(SparseRows(idx, val, n), k=7, block=32)
+    assert cap.indices.shape[1] <= ref.indices.shape[1]
+    np.testing.assert_allclose(cap.to_dense(), ref.to_dense(), atol=5e-3)
+
+
 def test_symmetrize_tsne():
     sr = make_rows([[0, 0.6, 0.4], [0.2, 0, 0.8], [0, 0, 0]])
     s = symmetrize_tsne(sr).to_dense()
