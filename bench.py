@@ -254,4 +254,23 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # A crashed/restarted tunnel worker (observed as UNAVAILABLE /
+        # ResourceExhausted mid-run) poisons the in-process client; the
+        # only recovery is a fresh process.  Retry once, cleanly.
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        if os.environ.get("BENCH_RETRIED"):
+            print(json.dumps({"metric": "pines_e2e", "value": -1,
+                              "unit": "seconds", "vs_baseline": 0,
+                              "error": f"{type(e).__name__}: {e}"[:400]}),
+                  flush=True)
+            sys.exit(1)
+        print(f"# bench failed ({type(e).__name__}); retrying in a fresh "
+              "process", file=sys.stderr, flush=True)
+        import subprocess
+        env = dict(os.environ, BENCH_RETRIED="1")
+        sys.exit(subprocess.call([sys.executable,
+                                  os.path.abspath(__file__)], env=env))
