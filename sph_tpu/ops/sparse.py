@@ -897,7 +897,7 @@ def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
     # tail of extreme hub rows is shed, mirroring the downstream P cap.
     wrev_max = min(int(os.environ.get("SPH_SYM_WREV_MAX", "1024")),
                    next_pow2(n))
-    wrev = min(next_pow2(max(2 * sr.width, 64)), max(wrev_max, 64))
+    wrev = max(min(next_pow2(max(2 * sr.width, 64)), wrev_max), 1)
     while True:
         oi, ov, counts, rev_lost = _symmetrize_p_dev(idx_d, val_d, wrev,
                                                      mode)

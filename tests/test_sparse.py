@@ -180,6 +180,46 @@ def test_symmetrize_tsne():
     assert np.allclose(s, s.T)
 
 
+def test_symmetrize_wrev_cap_sheds_faintest(monkeypatch):
+    """When SPH_SYM_WREV_MAX is smaller than a hub column's in-degree, the
+    symmetrized hub row keeps the LARGEST reverse contributions (the flat
+    restructuring sorts by (row, value desc)) and every non-hub row is
+    exact."""
+    from sph_tpu.ops.sparse import SparseRows
+
+    n = 12
+    # every row points at hub column 0 with distinct values; hub row itself
+    # has a single forward entry
+    idx = np.full((n, 2), -1, np.int32)
+    val = np.zeros((n, 2), np.float32)
+    idx[1:, 0] = 0
+    val[1:, 0] = np.linspace(0.1, 1.0, n - 1).astype(np.float32)
+    idx[0, 0] = 5
+    val[0, 0] = 0.5
+
+    def dev_rows():
+        # device-resident input so symmetrize takes the device dispatch
+        # (the scipy fallback has no width bound to exercise)
+        import jax.numpy as jnp
+        return SparseRows(jnp.asarray(idx), jnp.asarray(val), n)
+
+    ref = symmetrize_tsne(dev_rows()).to_dense()
+
+    monkeypatch.setenv("SPH_SYM_WREV_MAX", "4")
+    capped = symmetrize_tsne(dev_rows()).to_dense()
+    monkeypatch.delenv("SPH_SYM_WREV_MAX")
+
+    # hub row 0: the 4 largest reverse values survive (plus the forward
+    # edge to 5, which rides the forward lane and is never shed)
+    kept = np.nonzero(capped[0])[0]
+    assert len(kept) < len(np.nonzero(ref[0])[0])  # the cap really shed
+    largest = set(np.argsort(-ref[0])[:len(kept)])
+    assert set(kept) <= largest | {5}
+    assert capped[0, 5] > 0
+    # non-hub rows are bit-identical
+    np.testing.assert_array_equal(capped[1:], ref[1:])
+
+
 def test_symmetrize_umap():
     sr = make_rows([[0, 0.6, 0], [0.2, 0, 0], [0, 0, 0]])
     s = symmetrize_umap(sr).to_dense()
