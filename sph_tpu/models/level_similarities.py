@@ -332,11 +332,10 @@ class LevelSimilarities:
                                          smooth_knn_rows_bucketed)
         if scheme == NormalizationScheme.TSNE:
             if pd.device_only:
-                import jax.numpy as jnp
                 idx_d, val_d = pd.device()
-                mask = (idx_d >= 0) & (val_d != 0)
-                p = gaussian_rows_bucketed(val_d, mask, perp,
-                                           ignore_first=False)
+                p = gaussian_rows_bucketed(val_d, None, perp,
+                                           ignore_first=False,
+                                           indices=idx_d)
                 pd = SparseRows(idx_d, p, pd.num_cols)
             else:
                 mask = pd.mask & (pd.values != 0)
@@ -346,8 +345,7 @@ class LevelSimilarities:
         elif scheme == NormalizationScheme.UMAP:
             if pd.device_only:
                 idx_d, val_d = pd.device()
-                mask = (idx_d >= 0) & (val_d != 0)
-                p = smooth_knn_rows_bucketed(val_d, mask)
+                p = smooth_knn_rows_bucketed(val_d, None, indices=idx_d)
                 pd = SparseRows(idx_d, p, pd.num_cols)
             else:
                 mask = pd.mask & (pd.values != 0)

@@ -249,19 +249,49 @@ def _pad_rows_dev(arr: jax.Array, npad: int, wpad: int, fill) -> jax.Array:
                    constant_values=fill)
 
 
+@functools.partial(jax.jit, static_argnames=("npad", "wpad"))
+def _pad_val_mask_dev(values: jax.Array, mask: jax.Array,
+                      npad: int, wpad: int):
+    """One fused program for the (values, mask) bucket pads (two eager
+    jnp.pad calls otherwise compile two tiny programs per level shape)."""
+    n, k = values.shape
+    return (jnp.pad(values, ((0, npad - n), (0, wpad - k))),
+            jnp.pad(mask, ((0, npad - n), (0, wpad - k)),
+                    constant_values=False))
+
+
+@functools.partial(jax.jit, static_argnames=("npad", "wpad"))
+def _pad_idx_val_mask_dev(idx: jax.Array, values: jax.Array,
+                          npad: int, wpad: int):
+    """Fused mask-from-indices + bucket pads: the eager
+    `(idx >= 0) & (val != 0)` at the call sites compiled three extra tiny
+    programs per level shape."""
+    n, k = values.shape
+    mask = (idx >= 0) & (values != 0)
+    return (jnp.pad(values, ((0, npad - n), (0, wpad - k))),
+            jnp.pad(mask, ((0, npad - n), (0, wpad - k)),
+                    constant_values=False))
+
+
 def gaussian_rows_bucketed(values, mask, perplexity: float,
-                           ignore_first: bool):
+                           ignore_first: bool, indices=None):
     """Shape-bucketed wrapper around gaussian_row_distributions: pads
     rows/width to canonical sizes so every hierarchy level reuses one
     compiled program (see ops/bucketing.py).  Device arrays in -> device
-    array out (padding stays on device); numpy in -> numpy out."""
+    array out (padding stays on device); numpy in -> numpy out.
+
+    indices: optional device index array; when given (device path) the
+    `(idx >= 0) & (val != 0)` mask is fused into the pad program and the
+    `mask` argument is ignored."""
     from .bucketing import bucket_rows, next_pow2, pad_axis
     n, k = values.shape
     npad = bucket_rows(n)
     wpad = next_pow2(k)
     if isinstance(values, jax.Array):
-        v = _pad_rows_dev(values, npad, wpad, 0.0)
-        m = _pad_rows_dev(mask, npad, wpad, False)
+        if indices is not None:
+            v, m = _pad_idx_val_mask_dev(indices, values, npad, wpad)
+        else:
+            v, m = _pad_val_mask_dev(values, mask, npad, wpad)
         out = gaussian_row_distributions(v, m, jnp.float32(perplexity),
                                          ignore_first=ignore_first)
         return out[:n, :k]
@@ -275,16 +305,19 @@ def gaussian_rows_bucketed(values, mask, perplexity: float,
     return np.asarray(out)[:n, :k]
 
 
-def smooth_knn_rows_bucketed(values, mask):
+def smooth_knn_rows_bucketed(values, mask, indices=None):
     """Bucketed wrapper around smooth_knn_distributions (device arrays in ->
-    device array out, like gaussian_rows_bucketed)."""
+    device array out, like gaussian_rows_bucketed incl. the fused-mask
+    `indices` option)."""
     from .bucketing import bucket_rows, next_pow2, pad_axis
     n, k = values.shape
     npad = bucket_rows(n)
     wpad = next_pow2(k)
     if isinstance(values, jax.Array):
-        v = _pad_rows_dev(values, npad, wpad, 0.0)
-        m = _pad_rows_dev(mask, npad, wpad, False)
+        if indices is not None:
+            v, m = _pad_idx_val_mask_dev(indices, values, npad, wpad)
+        else:
+            v, m = _pad_val_mask_dev(values, mask, npad, wpad)
         return smooth_knn_distributions(v, m)[:n, :k]
     v = pad_axis(pad_axis(np.asarray(values, np.float32), 0, npad, 0.0),
                  1, wpad, 0.0)

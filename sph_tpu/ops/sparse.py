@@ -110,14 +110,12 @@ class SparseRows:
 
     def nnz(self) -> int:
         if self.device_only:
-            idx, val = self.device()
-            return int(jnp.sum((idx >= 0) & (val != 0)))
+            return int(np.asarray(_nnz_rows_dev(*self.device())).sum())
         return int((self.mask & (self.values != 0)).sum())
 
     def row_nnz(self) -> np.ndarray:
         if self.device_only:
-            idx, val = self.device()
-            return np.asarray(jnp.sum((idx >= 0) & (val != 0), axis=1))
+            return np.asarray(_nnz_rows_dev(*self.device()))
         return (self.mask & (self.values != 0)).sum(axis=1)
 
     def row_sums(self) -> np.ndarray:
@@ -204,6 +202,38 @@ def _compact_dev(idx: jax.Array, val: jax.Array):
 def _normalize_rows_dev(idx: jax.Array, val: jax.Array):
     s = jnp.sum(jnp.where(idx >= 0, val, 0.0), axis=1, keepdims=True)
     return val / jnp.where(s == 0, 1.0, s)
+
+
+# Tiny fused utility programs.  Eager jnp expressions compile one XLA
+# program PER OP per shape (a row_nnz was 4: >=, !=, &, reduce); each
+# costs ~20-30 ms of compile and a dispatch.  These fused helpers are the
+# single compile unit every call site shares (bench.py counts them:
+# compiled_programs_hierarchy).
+
+@jax.jit
+def _nnz_rows_dev(idx: jax.Array, val: jax.Array) -> jax.Array:
+    return jnp.sum((idx >= 0) & (val != 0), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("rpad", "wpad"))
+def _pad_pair_dev(idx: jax.Array, val: jax.Array, rpad: int, wpad: int):
+    n, w = idx.shape
+    return (jnp.pad(idx, ((0, rpad - n), (0, wpad - w)),
+                    constant_values=PAD),
+            jnp.pad(val, ((0, rpad - n), (0, wpad - w)),
+                    constant_values=0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols"))
+def _slice_pair_dev(idx: jax.Array, val: jax.Array, rows: int, cols: int):
+    return idx[:rows, :cols], val[:rows, :cols]
+
+
+@jax.jit
+def _drop_zero_dev(idx: jax.Array, val: jax.Array):
+    keep = val != 0
+    return _compact_dev(jnp.where(keep, idx, PAD),
+                        jnp.where(keep, val, 0.0))
 
 
 @functools.partial(jax.jit, static_argnames=("keep_single",))
@@ -538,10 +568,7 @@ def bhattacharyya_pairs(sr: SparseRows, rows_a: np.ndarray,
     idx_d, val_d = sr.device()
     w = next_pow2(sr.width)
     if w != sr.width:
-        idx_d = jnp.pad(idx_d, ((0, 0), (0, w - sr.width)),
-                        constant_values=PAD)
-        val_d = jnp.pad(val_d, ((0, 0), (0, w - sr.width)),
-                        constant_values=0.0)
+        idx_d, val_d = _pad_pair_dev(idx_d, val_d, sr.num_rows, w)
     r = w
     rows_a = np.asarray(rows_a, np.int32)
     rows_b = np.asarray(rows_b, np.int32)
@@ -703,10 +730,7 @@ def pairwise_similarities(sr: SparseRows, k: int,
     wpad = next_pow2(sr.width)
     idx_d, val_d = sr.device()
     if (npad, wpad) != (n, sr.width):
-        idx_d = jnp.pad(idx_d, ((0, npad - n), (0, wpad - sr.width)),
-                        constant_values=PAD)
-        val_d = jnp.pad(val_d, ((0, npad - n), (0, wpad - sr.width)),
-                        constant_values=0.0)
+        idx_d, val_d = _pad_pair_dev(idx_d, val_d, npad, wpad)
     scale = np.ones(npad, dtype=np.float32)
     if component_sizes is not None:
         scale[:n] = np.sqrt(component_sizes.astype(np.float32))
@@ -718,7 +742,7 @@ def pairwise_similarities(sr: SparseRows, k: int,
     # drop +inf (fewer than k similar rows), sort by column index, normalize
     # — all on device; the result feeds device gaussian rows / symmetrize
     oi, ov = _pairwise_post_dev(top_i, top_d)
-    return SparseRows(oi[:n], ov[:n], n)
+    return SparseRows(*_slice_pair_dev(oi, ov, n, oi.shape[1]), n)
 
 
 @jax.jit
@@ -741,14 +765,11 @@ def drop_zero_entries(sr: SparseRows, shrink: bool = True) -> SparseRows:
     (30-50 ms over the tunnel); callers that fetch row_nnz anyway pass
     shrink=False and call shrink_width with the host-side max."""
     if sr.device_only:
-        idx, val = sr.device()
-        keep = val != 0
-        oi, ov = _compact_dev(jnp.where(keep, idx, PAD),
-                              jnp.where(keep, val, 0.0))
+        oi, ov = _drop_zero_dev(*sr.device())
         out = SparseRows(oi, ov, sr.num_cols)
         if not shrink:
             return out
-        need = int(jnp.max(jnp.sum(oi >= 0, axis=1)))
+        need = int(_nnz_rows_dev(oi, ov).max())
         return shrink_width(out, need)
     keep = sr.values != 0
     idx = np.where(keep, sr.indices, PAD)
@@ -770,7 +791,8 @@ def shrink_width(sr: SparseRows, need: int) -> SparseRows:
         return sr
     if sr.device_only:
         idx, val = sr.device()
-        return SparseRows(idx[:, :w], val[:, :w], sr.num_cols)
+        return SparseRows(*_slice_pair_dev(idx, val, idx.shape[0], w),
+                          sr.num_cols)
     return SparseRows(np.ascontiguousarray(sr.indices[:, :w]),
                       np.ascontiguousarray(sr.values[:, :w]), sr.num_cols)
 
@@ -910,7 +932,8 @@ def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
         wrev = min(next_pow2(wrev * 2), next_pow2(n), wrev_max)
     need = int(probe[0]) if n else 1
     w = min(next_pow2(max(need, 1)), oi.shape[1])
-    return SparseRows(oi[:, :w], ov[:, :w], sr.num_cols)
+    return SparseRows(*_slice_pair_dev(oi, ov, oi.shape[0], w),
+                      sr.num_cols)
 
 
 def symmetrize_tsne(sr: SparseRows) -> SparseRows:

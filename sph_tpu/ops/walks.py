@@ -287,15 +287,15 @@ def do_random_walks(similarities: SparseRows,
     # Shrink the stored width to the widest surviving row (pruning can
     # empty most of the padded slots; downstream merge/pair costs scale
     # with the padded width).
-    nnz_rows = jnp.sum((idx >= 0) & (val != 0), axis=1)
-    need = int(jnp.max(nnz_rows))
+    from .sparse import _nnz_rows_dev, _slice_pair_dev
+    nnz_rows = np.asarray(_nnz_rows_dev(idx, val))
+    need = int(nnz_rows.max()) if nnz_rows.size else 1
     from .bucketing import next_pow2
     wkeep = min(next_pow2(max(need, 1)), idx.shape[1])
     if wkeep < idx.shape[1]:
-        idx = idx[:, :wkeep]
-        val = val[:, :wkeep]
+        idx, val = _slice_pair_dev(idx, val, idx.shape[0], wkeep)
     rows = SparseRows(idx, val, c)
-    empty = int(jnp.sum(nnz_rows == 0))
+    empty = int((nnz_rows == 0).sum())
     if empty:
         Log.warn("doRandomWalks: %d rows have no effective entries", empty)
     return rows
