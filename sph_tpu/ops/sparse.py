@@ -723,10 +723,21 @@ def pairwise_similarities(sr: SparseRows, k: int,
         Log.info("pairwise_similarities: capped row width %d -> %d",
                  orig_width, sr.width)
 
-    block_eff = min(block, max(8, n))
-    npad = ((n + block_eff - 1) // block_eff) * block_eff
+    # row-bucketed block layout: the shrinking level loop otherwise
+    # compiles this kernel once per exact component count (levels 401, 50,
+    # 16, ... each ~20-40s on TPU); bucketing to canonical row counts
+    # lets all small levels share one executable (padded rows produce
+    # bc=0 -> pruned, and ids >= n_valid are masked, so results are
+    # unchanged)
+    # only small levels bucket (ceil to 256): they are the ones that
+    # multiply executables across the shrinking level loop.  Large levels
+    # keep exact block-multiple shapes — bucket_rows' power-of-two step
+    # would pad level-0 row counts by up to 2x of real kernel work.
+    from .bucketing import bucket_rows, ceil_to, next_pow2
+    nb = bucket_rows(max(8, n)) if n <= 2048 else n
+    block_eff = min(block, nb)
+    npad = ceil_to(nb, block_eff)
 
-    from .bucketing import next_pow2
     wpad = next_pow2(sr.width)
     idx_d, val_d = sr.device()
     if (npad, wpad) != (n, sr.width):
@@ -912,6 +923,14 @@ def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
 
     idx_d, val_d = sr.device()
     n = sr.num_rows
+    # row-bucket the kernel shape so shrinking levels share executables
+    # (padded rows have no valid forward entries and receive no reverse
+    # entries — column ids are < num_cols <= n — so the combine leaves
+    # them all-PAD and the final slice drops them)
+    from .bucketing import bucket_rows
+    nb = bucket_rows(max(8, n)) if n <= 2048 else n
+    if nb != n:
+        idx_d, val_d = _pad_pair_dev(idx_d, val_d, nb, sr.width)
     # bound the reverse width: hub columns can have in-degree near n, and
     # the [n, wrev] reverse/concat buffers at that extent exhaust HBM.
     # Beyond the cap the kernel keeps the top-wrev reverse entries by
@@ -932,8 +951,7 @@ def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
         wrev = min(next_pow2(wrev * 2), next_pow2(n), wrev_max)
     need = int(probe[0]) if n else 1
     w = min(next_pow2(max(need, 1)), oi.shape[1])
-    return SparseRows(*_slice_pair_dev(oi, ov, oi.shape[0], w),
-                      sr.num_cols)
+    return SparseRows(*_slice_pair_dev(oi, ov, n, w), sr.num_cols)
 
 
 def symmetrize_tsne(sr: SparseRows) -> SparseRows:
