@@ -23,9 +23,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+_WATCHDOG = None
+
+
 def _start_watchdog(seconds: float):
     """If the TPU tunnel wedges, device init hangs forever; emit an error
     line and exit rather than stalling the driver."""
+    global _WATCHDOG
     import threading
 
     def fire():
@@ -38,6 +42,7 @@ def _start_watchdog(seconds: float):
     t = threading.Timer(seconds, fire)
     t.daemon = True
     t.start()
+    _WATCHDOG = t
     return t
 
 
@@ -260,6 +265,11 @@ if __name__ == "__main__":
         # A crashed/restarted tunnel worker (observed as UNAVAILABLE /
         # ResourceExhausted mid-run) poisons the in-process client; the
         # only recovery is a fresh process.  Retry once, cleanly.
+        # Cancel the first attempt's watchdog first — it would otherwise
+        # keep counting and could os._exit this parent mid-retry, emitting
+        # a second, bogus JSON line.
+        if _WATCHDOG is not None:
+            _WATCHDOG.cancel()
         import traceback
         traceback.print_exc(file=sys.stderr)
         if os.environ.get("BENCH_RETRIED"):

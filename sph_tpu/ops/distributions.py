@@ -295,6 +295,8 @@ def gaussian_rows_bucketed(values, mask, perplexity: float,
         out = gaussian_row_distributions(v, m, jnp.float32(perplexity),
                                          ignore_first=ignore_first)
         return out[:n, :k]
+    if mask is None and indices is not None:
+        mask = (np.asarray(indices) >= 0) & (np.asarray(values) != 0)
     v = pad_axis(pad_axis(np.asarray(values, np.float32), 0, npad, 0.0),
                  1, wpad, 0.0)
     m = pad_axis(pad_axis(np.asarray(mask, bool), 0, npad, False),
@@ -319,6 +321,8 @@ def smooth_knn_rows_bucketed(values, mask, indices=None):
         else:
             v, m = _pad_val_mask_dev(values, mask, npad, wpad)
         return smooth_knn_distributions(v, m)[:n, :k]
+    if mask is None and indices is not None:
+        mask = (np.asarray(indices) >= 0) & (np.asarray(values) != 0)
     v = pad_axis(pad_axis(np.asarray(values, np.float32), 0, npad, 0.0),
                  1, wpad, 0.0)
     m = pad_axis(pad_axis(np.asarray(mask, bool), 0, npad, False),

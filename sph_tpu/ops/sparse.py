@@ -917,7 +917,13 @@ def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
         orig_w = sr.width
         capped = topk_rows(sr, wcap)
         ci, cv = capped.device()
-        sr = SparseRows(ci, _normalize_rows_dev(ci, cv), sr.num_cols)
+        # renormalize only t-SNE conditionals (rows sum to 1 by
+        # construction); UMAP fuzzy memberships are NOT row-normalized —
+        # dividing them by their row sum would shrink every membership,
+        # not just shed the tail
+        if mode == "tsne":
+            cv = _normalize_rows_dev(ci, cv)
+        sr = SparseRows(ci, cv, sr.num_cols)
         Log.info("symmetrize: capped row width %d -> %d (row budget)",
                  orig_w, sr.width)
 
@@ -936,8 +942,10 @@ def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
     # Beyond the cap the kernel keeps the top-wrev reverse entries by
     # value (see the (row, value-desc) flat sort) — only the faintest
     # tail of extreme hub rows is shed, mirroring the downstream P cap.
-    wrev_max = min(int(os.environ.get("SPH_SYM_WREV_MAX", "1024")),
-                   next_pow2(n))
+    wrev_env = int(os.environ.get("SPH_SYM_WREV_MAX", "1024"))
+    if wrev_env <= 0:  # 0 disables the bound, like the sibling cap knobs
+        wrev_env = 1 << 30
+    wrev_max = min(wrev_env, next_pow2(n))
     wrev = max(min(next_pow2(max(2 * sr.width, 64)), wrev_max), 1)
     while True:
         oi, ov, counts, rev_lost = _symmetrize_p_dev(idx_d, val_d, wrev,

@@ -220,6 +220,31 @@ def test_symmetrize_wrev_cap_sheds_faintest(monkeypatch):
     np.testing.assert_array_equal(capped[1:], ref[1:])
 
 
+def test_symmetrize_umap_gate_no_renorm(monkeypatch):
+    """The memory-gate width cap must NOT renormalize UMAP fuzzy
+    memberships (they are not row-normalized; t-SNE rows are).  With a cap
+    wider than every row's nnz, the gated result equals the ungated one."""
+    import jax.numpy as jnp
+    from sph_tpu.ops.sparse import SparseRows
+
+    n, w = 16, 8
+    rng = np.random.default_rng(5)
+    idx = np.sort(rng.integers(0, n, size=(n, w)), axis=1).astype(np.int32)
+    dup = np.zeros_like(idx, dtype=bool)
+    dup[:, 1:] = idx[:, 1:] == idx[:, :-1]
+    idx = np.where(dup, -1, idx)
+    idx[:, -1] = -1  # keep every row's nnz strictly below the cap
+    val = np.where(idx >= 0, rng.random((n, w), np.float32) * 0.9, 0)
+
+    ref = symmetrize_umap(SparseRows(jnp.asarray(idx), jnp.asarray(val),
+                                     n)).to_dense()
+    monkeypatch.setenv("SPH_SYM_FLAT_BUDGET", "1")   # force the gate on
+    monkeypatch.setenv("SPH_SYM_P_WIDTH_CAP", str(w - 1))
+    gated = symmetrize_umap(SparseRows(jnp.asarray(idx), jnp.asarray(val),
+                                       n)).to_dense()
+    np.testing.assert_allclose(gated, ref, atol=1e-6)
+
+
 def test_symmetrize_umap():
     sr = make_rows([[0, 0.6, 0], [0.2, 0, 0], [0, 0, 0]])
     s = symmetrize_umap(sr).to_dense()
