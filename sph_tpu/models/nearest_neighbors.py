@@ -284,13 +284,20 @@ def _closest_pairs_device(data: np.ndarray, members: list,
         ordered.append((a, b))
 
     out = {}
-    if device_rows:
-        amax = pow2(max(len(members[a]) for a, _ in device_rows))
-        bmax = pow2(max(len(members[b]) for _, b in device_rows))
-        p = len(device_rows)
+    # group by the A side's pow2 size: the per-pair 2^26 guard bounds
+    # pow2(a)*pow2(b) per pair, and within an equal-pow2(a) group
+    # amax*bmax inherits that bound — batching heterogeneous pairs into
+    # one (global amax, global bmax) pad could otherwise materialize a
+    # multi-GB [amax, bmax] tile no individual pair asked for
+    groups: dict = {}
+    for a, b in device_rows:
+        groups.setdefault(pow2(len(members[a])), []).append((a, b))
+    for amax, rows in groups.items():
+        bmax = pow2(max(len(members[b]) for _, b in rows))
+        p = len(rows)
         ids_a = np.full((p, amax), -1, np.int32)
         ids_b = np.full((p, bmax), -1, np.int32)
-        for i, (a, b) in enumerate(device_rows):
+        for i, (a, b) in enumerate(rows):
             ids_a[i, :len(members[a])] = members[a]
             ids_b[i, :len(members[b])] = members[b]
         ia, ib, d2 = _closest_pairs_kernel(data_d, jnp.asarray(ids_a),
@@ -299,7 +306,7 @@ def _closest_pairs_device(data: np.ndarray, members: list,
         ib = np.asarray(ib)
         d2 = np.asarray(d2, np.float64)
         d = d2 if l2_squared else np.sqrt(np.maximum(d2, 0.0))
-        for i, (a, b) in enumerate(device_rows):
+        for i, (a, b) in enumerate(rows):
             out[(a, b)] = (int(ia[i]), int(ib[i]), float(d[i]))
     for a, b in host_rows:
         ia, ib, dd = _closest_pair(data, members[a], members[b], l2_squared)

@@ -582,8 +582,10 @@ void umap_sequential(int64_t n, float* emb, int64_t m,
                 oth[1] -= alpha * gy;
             }
             next_sample[i] += eps[i];
+            // umap-learn: int((epoch - epoch_of_next_negative_sample)
+            //                  / epochs_per_negative_sample) — no +1
             const int64_t n_neg = static_cast<int64_t>(
-                (epoch - next_neg[i] + eps_neg[i]) / eps_neg[i]);
+                (epoch - next_neg[i]) / eps_neg[i]);
             for (int64_t p = 0; p < n_neg; ++p) {
                 rng = mix64(rng);
                 const int64_t t = static_cast<int64_t>(

@@ -370,6 +370,14 @@ def merge_by_parents_device(indices, values,
 
     m_pad = _next_pow2(num_merged)
     cap = max_width if max_width is not None else 1 << 30
+    # floor the cap to a power of two: the stored width is pow2 (for
+    # bucketed downstream kernels), and a non-pow2 cap used to be applied
+    # as a FINAL column slice of ascending-column-ordered output — i.e.
+    # truncation by column id, not by value, diverging from the
+    # _merge_device keep-largest/keep-smallest semantics.  With a pow2
+    # cap the width loop's `width >= cap` exit routes every truncating
+    # case through _merge_device's value-ordered selection.
+    cap = max(1 << (int(cap).bit_length() - 1), 1) if cap >= 1 else 1
     # initial guess: union of ~N/M child rows, each up to R wide
     guess = r * max(int(np.ceil(n / max(num_merged, 1))), 1)
     width = min(_next_pow2(max(min(guess, 4 * r), 16)), _next_pow2(cap))

@@ -434,54 +434,6 @@ def _cap_width(g: PaddedGraph) -> PaddedGraph:
                        np.minimum(g.counts, cap).astype(np.int32))
 
 
-def weak_cc_device(graph: PaddedGraph, max_iters: int = 256
-                   ) -> Optional[tuple[int, np.ndarray]]:
-    """Weak CC of a device-resident symmetric graph by min-label
-    propagation with pointer jumping — avoids downloading the wide
-    adjacency (7+ MB at Pines scale, ~0.5 s over the tunnel) just to run a
-    host union-find.  Pull-only propagation is correct because the graph
-    is symmetric.  Returns None if not converged within max_iters (caller
-    falls back to the host path); converged labels are min-node-id per
-    component, which _normalize_labels maps to exactly the host path's
-    first-occurrence order."""
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
-    @functools.partial(jax.jit, static_argnames=("max_iters",))
-    def kernel(idx_d, max_iters: int):
-        n = idx_d.shape[0]
-        l0 = jnp.arange(n, dtype=jnp.int32)
-        mask = idx_d >= 0
-
-        def cond(c):
-            _, changed, it = c
-            return changed & (it < max_iters)
-
-        def body(c):
-            lab, _, it = c
-            neigh = jnp.where(mask, lab[jnp.maximum(idx_d, 0)],
-                              jnp.int32(n))
-            lm = jnp.minimum(lab, jnp.min(neigh, axis=1))
-            lm = lm[lm]
-            lm = lm[lm]
-            return lm, jnp.any(lm != lab), it + jnp.int32(1)
-
-        lab, changed, iters = jax.lax.while_loop(
-            cond, body, (l0, jnp.bool_(True), jnp.int32(0)))
-        return lab, changed
-
-    idx_d, _ = graph.device()
-    lab, not_converged = kernel(idx_d, max_iters)
-    lab = np.asarray(lab)
-    if bool(not_converged):
-        return None
-    labels = _normalize_labels(lab.astype(np.int64))
-    ncc = int(labels.max()) + 1 if labels.size else 0
-    return ncc, labels
-
-
 def weak_connected_components(graph: KnnGraph | PaddedGraph,
                               use_native: bool = True
                               ) -> tuple[int, np.ndarray]:

@@ -316,10 +316,19 @@ def get_geo_sketch(graph):
     hops = int(os.environ.get("SPH_GEO_SKETCH_HOPS", "3"))
     key = id(graph)
     hit = _SKETCH_CACHE.get(key)
-    if hit is None or hit[2] != (width, hops):
-        si, sd = build_geo_sketch(graph, width=width, hops=hops)
+    # the entry pins the graph object: without it, a GC'd graph's address
+    # can be recycled by a NEW graph and id() would serve a stale sketch
+    if hit is None or hit[2] != (width, hops) or hit[3] is not graph:
+        # meet-in-the-middle sums two forward half-paths, which equals the
+        # true geodesic only on undirected graphs (build_geo_sketch's
+        # documented contract) — under settings without symmetric
+        # neighbors the data graph arrives directed, so symmetrize here
+        # (idempotent on an already-symmetric graph; one-time, cached)
+        from .graph import symmetrize_graph
+        base = symmetrize_graph(graph)
+        si, sd = build_geo_sketch(base, width=width, hops=hops)
         _SKETCH_CACHE.clear()     # keep at most one (device-resident MBs)
-        hit = (si, sd, (width, hops))
+        hit = (si, sd, (width, hops), graph)
         _SKETCH_CACHE[key] = hit
     return hit[0], hit[1]
 

@@ -340,6 +340,9 @@ def sharded_grid_tsne(p_indices: np.ndarray, p_values: np.ndarray,
     from ..ops.math import random_disk_init
     y0 = np.zeros((npad, 2), np.float32)
     y0[:n] = random_disk_init(n, 0.1, seed)
+    # record auto-mode BEFORE the initial pick overwrites grid, else the
+    # live-span re-pick below can never engage
+    fixed_grid = grid > 0
     if grid <= 0:
         grid = pick_grid_size(float(np.ptp(y0[:n]).max()) + 1.0)
     pi = np.full((npad, r), -1, np.int32)
@@ -358,7 +361,6 @@ def sharded_grid_tsne(p_indices: np.ndarray, p_values: np.ndarray,
     # curvature).  Mirror the single-chip tier: re-pick the pow2-bucketed
     # grid from the live span between iteration chunks; compiled steps are
     # cached per grid size.
-    fixed_grid = grid > 0
     steps: dict = {}
     regrid_every = 50
     it = 0

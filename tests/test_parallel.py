@@ -189,11 +189,21 @@ def test_sharded_grid_tsne_auto_regrid():
     """grid=0 re-buckets the node count from the live span between
     iteration chunks (the long-run stability fix: a grid sized at init
     degenerates once the embedding expands past the kernel width)."""
+    import sph_tpu.ops.tsne_grid as tg
     from sph_tpu.parallel.sharded import sharded_grid_tsne
     p, labels = probdist()
-    emb = sharded_grid_tsne(p.indices, p.values, 60, make_mesh())
+    calls = []
+    orig_pick = tg.pick_grid_size
+    tg.pick_grid_size = lambda *a, **k: calls.append(a) or orig_pick(*a, **k)
+    try:
+        emb = sharded_grid_tsne(p.indices, p.values, 60, make_mesh())
+    finally:
+        tg.pick_grid_size = orig_pick
     assert emb.shape == (96, 2)
     assert np.all(np.isfinite(emb))
+    # auto mode really re-picks from the live span between chunks
+    # (one init pick + one per 50-iteration chunk)
+    assert len(calls) >= 2
 
 
 def test_sharded_grid_tsne_finite_and_separates():

@@ -220,6 +220,19 @@ def test_symmetrize_wrev_cap_sheds_faintest(monkeypatch):
     np.testing.assert_array_equal(capped[1:], ref[1:])
 
 
+def test_symmetrize_zero_rows_device():
+    """The device dispatch must handle an empty matrix (review finding:
+    jnp.max over [0] counts raised before the row padding guaranteed a
+    non-empty kernel shape)."""
+    import jax.numpy as jnp
+    from sph_tpu.ops.sparse import SparseRows
+
+    empty = SparseRows(jnp.zeros((0, 4), jnp.int32) - 1,
+                       jnp.zeros((0, 4), jnp.float32), 0)
+    out = symmetrize_tsne(empty)
+    assert out.num_rows == 0
+
+
 def test_symmetrize_umap_gate_no_renorm(monkeypatch):
     """The memory-gate width cap must NOT renormalize UMAP fuzzy
     memberships (they are not row-normalized; t-SNE rows are).  With a cap
