@@ -82,11 +82,11 @@ def sharded_knn(data: np.ndarray, k: int, mesh: Optional[Mesh] = None,
             rr = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
             return (-neg, mi[rr, sel]), None
 
-        # pvary: the carry is per-device state inside shard_map
-        init = (jax.lax.pvary(jnp.full((rows.shape[0], k), jnp.inf,
-                                       jnp.float32), axis),
-                jax.lax.pvary(jnp.full((rows.shape[0], k), -1, jnp.int32),
-                              axis))
+        # pcast to varying: the carry is per-device state inside shard_map
+        init = (jax.lax.pcast(jnp.full((rows.shape[0], k), jnp.inf,
+                                       jnp.float32), axis, to="varying"),
+                jax.lax.pcast(jnp.full((rows.shape[0], k), -1, jnp.int32),
+                              axis, to="varying"))
         (top_d, top_i), _ = jax.lax.scan(col_step, init,
                                          jnp.arange(nblk))
         return jnp.sqrt(jnp.maximum(top_d, 0.0)), top_i
