@@ -98,6 +98,88 @@ def _bellman_ford(in_idx: jax.Array, in_w: jax.Array, init: jax.Array,
     return out
 
 
+def _source_init(field_samples: jax.Array, n: int) -> jax.Array:
+    """[F, S] padded (-1) source-id lists -> [F, N] initial distances
+    (0 at sources, +inf elsewhere), built on device."""
+    f, s = field_samples.shape
+    init = jnp.full((f, n), jnp.inf, dtype=jnp.float32)
+    rows = jnp.repeat(jnp.arange(f), s)
+    cols = field_samples.reshape(-1)
+    vals = jnp.where(cols < 0, jnp.inf, 0.0).astype(jnp.float32)
+    return init.at[rows, jnp.where(cols < 0, 0, cols)].min(vals)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _fields_component_max(in_idx: jax.Array, in_w: jax.Array,
+                          field_samples: jax.Array, eval_samples: jax.Array,
+                          eval_mask: jax.Array, max_iter: int) -> jax.Array:
+    """Converged SSSP fields reduced to per-component sample maxima.
+
+    The [F, N] fields never leave the device: the one-sided Hausdorff term
+    max_{p in comp} D_field(p) is reduced on device and only the [F, C]
+    result crosses to the host (the fields themselves are N-sized and
+    host<->device bandwidth dominates GEO wall-clock otherwise).
+    """
+    n = in_idx.shape[0]
+    f = field_samples.shape[0]
+    c, s2 = eval_samples.shape
+    d = _bellman_ford(in_idx, in_w, _source_init(field_samples, n), max_iter)
+
+    def step(j, best):
+        ids_j = jax.lax.dynamic_slice_in_dim(eval_samples, j, 1,
+                                             axis=1)[:, 0]        # [C]
+        m_j = jax.lax.dynamic_slice_in_dim(eval_mask, j, 1, axis=1)[:, 0]
+        v = d[:, jnp.where(ids_j < 0, 0, ids_j)]                  # [F, C]
+        v = jnp.where(m_j[None, :], v, -jnp.inf)
+        return jnp.maximum(best, v)
+
+    best0 = jnp.full((f, c), -jnp.inf, dtype=jnp.float32)
+    return jax.lax.fori_loop(0, s2, step, best0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _fields_values_at(in_idx: jax.Array, in_w: jax.Array,
+                      field_samples: jax.Array, eval_ids: jax.Array,
+                      max_iter: int) -> jax.Array:
+    """Converged fields evaluated at explicit node ids: [F, E] values
+    (device-resident fields, only the evaluations transfer)."""
+    n = in_idx.shape[0]
+    d = _bellman_ford(in_idx, in_w, _source_init(field_samples, n), max_iter)
+    return d[:, jnp.where(eval_ids < 0, 0, eval_ids)]
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _fields_full(in_idx: jax.Array, in_w: jax.Array,
+                 field_samples: jax.Array, max_iter: int) -> jax.Array:
+    """Converged fields, full [F, N] (for dense all-pairs outputs over
+    small graphs; device-side source init, adjacency uploaded by caller)."""
+    return _bellman_ford(in_idx, in_w,
+                         _source_init(field_samples, in_idx.shape[0]),
+                         max_iter)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "kk"))
+def _fields_topk(in_idx: jax.Array, in_w: jax.Array,
+                 field_samples: jax.Array, max_iter: int, kk: int):
+    """Converged fields reduced to per-field bottom-k (nearest components):
+    returns (ids [F, kk] int32, dists [F, kk] f32), unreachable = FLOAT_MAX.
+    Ties break toward the lower index, matching a stable ascending sort."""
+    n = in_idx.shape[0]
+    d = _bellman_ford(in_idx, in_w, _source_init(field_samples, n), max_iter)
+    d = jnp.where(jnp.isfinite(d), d, _FLOAT_MAX)
+    neg, ids = jax.lax.top_k(-d, kk)
+    return ids.astype(jnp.int32), -neg
+
+
+def _pad_rows(a: np.ndarray, rows: int, fill) -> np.ndarray:
+    """Pad axis 0 to `rows` with `fill` (keeps one compiled shape across
+    the trailing partial batch)."""
+    if a.shape[0] == rows:
+        return a
+    pad = np.full((rows - a.shape[0],) + a.shape[1:], fill, dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
 def sssp_fields(in_idx: np.ndarray, in_w: np.ndarray,
                 source_sets: np.ndarray, max_iter: int = 0) -> np.ndarray:
     """Multi-source SSSP distance fields.
@@ -106,16 +188,10 @@ def sssp_fields(in_idx: np.ndarray, in_w: np.ndarray,
     with unreachable nodes at +inf.
     """
     n = in_idx.shape[0]
-    f, s = source_sets.shape
-    init = np.full((f, n), np.inf, dtype=np.float32)
-    rows = np.repeat(np.arange(f), s)
-    cols = source_sets.ravel()
-    ok = cols >= 0
-    init[rows[ok], cols[ok]] = 0.0
     if max_iter <= 0:
         max_iter = n  # worst case; convergence check exits far earlier
     out = _bellman_ford(jnp.asarray(in_idx), jnp.asarray(in_w),
-                        jnp.asarray(init), max_iter)
+                        _source_init(jnp.asarray(source_sets), n), max_iter)
     return np.asarray(out)
 
 
@@ -211,11 +287,13 @@ def contracted_geodesics(hierarchy, data: np.ndarray, level: int,
     # per-node padded in-edge table over the component graph
     in_idx, in_w = _edge_list_reverse(c, src, dst, w)
 
+    in_idx_d, in_w_d = jnp.asarray(in_idx), jnp.asarray(in_w)
     out = np.empty((c, c), dtype=np.float32)
     for f0 in range(0, c, batch):
         fe = min(f0 + batch, c)
-        sources = np.arange(f0, fe, dtype=np.int64)[:, None]
-        out[f0:fe] = sssp_fields(in_idx, in_w, sources)
+        fs = _pad_rows(np.arange(f0, fe, dtype=np.int32)[:, None], batch, -1)
+        out[f0:fe] = np.asarray(_fields_full(
+            in_idx_d, in_w_d, jnp.asarray(fs), c))[:fe - f0]
     return out
 
 
@@ -247,18 +325,15 @@ def contracted_geodesic_knn(hierarchy, data: np.ndarray, level: int,
     in_idx, in_w = _edge_list_reverse(c, src, dst, w)
 
     kk = min(k, c)
+    in_idx_d, in_w_d = jnp.asarray(in_idx), jnp.asarray(in_w)
     ids = np.empty((c, kk), dtype=np.int32)
     dists = np.empty((c, kk), dtype=np.float32)
     for f0 in range(0, c, batch):
         fe = min(f0 + batch, c)
-        fields = sssp_fields(in_idx, in_w,
-                             np.arange(f0, fe, dtype=np.int64)[:, None])
-        d = np.where(np.isfinite(fields), fields, _FLOAT_MAX)
-        sel = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-        dsel = np.take_along_axis(d, sel, axis=1)
-        order = np.argsort(dsel, axis=1, kind="stable")
-        ids[f0:fe] = np.take_along_axis(sel, order, axis=1)
-        dists[f0:fe] = np.take_along_axis(dsel, order, axis=1)
+        fs = _pad_rows(np.arange(f0, fe, dtype=np.int32)[:, None], batch, -1)
+        bi, bd = _fields_topk(in_idx_d, in_w_d, jnp.asarray(fs), c, kk)
+        ids[f0:fe] = np.asarray(bi)[:fe - f0]
+        dists[f0:fe] = np.asarray(bd)[:fe - f0]
     return ensure_self_first(ids, dists)[:2]
 
 
@@ -294,12 +369,15 @@ def contracted_geodesic_pairs(hierarchy, data: np.ndarray, level: int,
     pos = np.full(int(srcs.max()) + 1, -1, dtype=np.int64)
     pos[srcs] = np.arange(len(srcs))
     ap = pos[a]
+    in_idx_d, in_w_d = jnp.asarray(in_idx), jnp.asarray(in_w)
+    eval_d = jnp.asarray(np.asarray(b, np.int32))
     for f0 in range(0, len(srcs), batch):
         fe = min(f0 + batch, len(srcs))
-        fields = sssp_fields(in_idx, in_w,
-                             srcs[f0:fe, None].astype(np.int64))
+        fs = _pad_rows(srcs[f0:fe, None].astype(np.int32), batch, -1)
+        fields = np.asarray(_fields_values_at(
+            in_idx_d, in_w_d, jnp.asarray(fs), eval_d, c))   # [F, E]
         sel = (ap >= f0) & (ap < fe)
-        vals = fields[ap[sel] - f0, b[sel]]
+        vals = fields[ap[sel] - f0, np.nonzero(sel)[0]]
         out[sel] = np.where(np.isfinite(vals), vals, _FLOAT_MAX)
     return out
 
@@ -450,17 +528,23 @@ def geodesic_hausdorff_knn(graph, hierarchy, level: int, k: int,
     if num_samples and num_samples > 0:
         max_s = min(max_s, num_samples)
     samples = sample_represented(reps, np.arange(c), max_s, seed=seed + level)
-    smask = samples >= 0
 
-    # term1[a, b] = max_{p in a} D_b(p); build column-batches of fields
+    # term1[a, b] = max_{p in a} D_b(p); build column-batches of fields,
+    # reduced to [F, C] on device (fields stay device-resident; the
+    # adjacency uploads once)
+    n = in_idx.shape[0]
+    in_idx_d = jnp.asarray(in_idx)
+    in_w_d = jnp.asarray(in_w)
+    eval_d = jnp.asarray(samples.astype(np.int32))
+    mask_d = eval_d >= 0
     term = np.full((c, c), np.inf, dtype=np.float32)
     for f0 in range(0, c, field_batch):
         fe = min(f0 + field_batch, c)
-        fields = sssp_fields(in_idx, in_w, samples[f0:fe])   # [F, N]
-        # evaluate every field at every component's samples
-        vals = fields[:, np.maximum(samples, 0)]             # [F, C, S]
-        vals = np.where(smask[None], vals, -np.inf)
-        term[:, f0:fe] = vals.max(axis=2).T                  # max over p in a
+        fs = _pad_rows(samples[f0:fe].astype(np.int32), field_batch, -1)
+        m = np.asarray(_fields_component_max(
+            in_idx_d, in_w_d, jnp.asarray(fs), eval_d, mask_d, n))
+        term[:, f0:fe] = m[:fe - f0].T                       # max over p in a
+    term = np.where(np.isneginf(term), np.inf, term)         # empty comps
 
     h = np.maximum(term, term.T)
     np.fill_diagonal(h, 0.0)
@@ -529,14 +613,22 @@ def geodesic_component_distances(graph, data: np.ndarray, hierarchy,
             tb = src_pos[b[todo]]
             v_ab = np.full(todo.size, np.inf, dtype=np.float32)
             v_ba = np.full(todo.size, np.inf, dtype=np.float32)
+            n = in_idx.shape[0]
+            in_idx_d = jnp.asarray(in_idx)
+            in_w_d = jnp.asarray(in_w)
+            eval_d = jnp.asarray(np.concatenate([b[todo], a[todo]])
+                                 .astype(np.int32))
             for f0 in range(0, len(srcs), field_batch):
                 fe = min(f0 + field_batch, len(srcs))
-                fields = sssp_fields(in_idx, in_w,
-                                     srcs[f0:fe, None].astype(np.int64))
+                fs = _pad_rows(srcs[f0:fe, None].astype(np.int32),
+                               field_batch, -1)
+                vals = np.asarray(_fields_values_at(
+                    in_idx_d, in_w_d, jnp.asarray(fs), eval_d, n))
                 sel = (ta >= f0) & (ta < fe)
-                v_ab[sel] = fields[ta[sel] - f0, b[todo][sel]]
+                v_ab[sel] = vals[ta[sel] - f0, np.nonzero(sel)[0]]
                 sel = (tb >= f0) & (tb < fe)
-                v_ba[sel] = fields[tb[sel] - f0, a[todo][sel]]
+                v_ba[sel] = vals[tb[sel] - f0,
+                                 todo.size + np.nonzero(sel)[0]]
             haus0 = np.maximum(v_ab, v_ba)
             ok = np.isfinite(haus0)
             out[todo[ok]] = haus0[ok]
@@ -553,7 +645,6 @@ def geodesic_component_distances(graph, data: np.ndarray, hierarchy,
 
     comp_ids = np.unique(np.concatenate([a, b]))
     samples = sample_represented(reps, comp_ids, max_s, seed=seed + level)
-    smask = samples >= 0
     num_fields = len(comp_ids)
     pos_of = np.full(int(comp_ids.max()) + 1, -1, dtype=np.int64)
     pos_of[comp_ids] = np.arange(num_fields)
@@ -562,16 +653,21 @@ def geodesic_component_distances(graph, data: np.ndarray, hierarchy,
 
     # per (field component, evaluated component): max over the evaluated
     # component's samples of the field value == the one-sided Hausdorff
-    # term; batched over fields, vectorized over components
+    # term; batched over fields, reduced to [F, C] on device (the [F, N]
+    # fields and the adjacency never round-trip through the host)
+    n = in_idx.shape[0]
+    in_idx_d = jnp.asarray(in_idx)
+    in_w_d = jnp.asarray(in_w)
+    eval_d = jnp.asarray(samples.astype(np.int32))
+    mask_d = eval_d >= 0
     max_over_b_at_a = np.full(e, -np.inf, dtype=np.float32)  # max_p D_B(p)
     max_over_a_at_b = np.full(e, -np.inf, dtype=np.float32)
 
     for f0 in range(0, num_fields, field_batch):
         fe = min(f0 + field_batch, num_fields)
-        fields = sssp_fields(in_idx, in_w, samples[f0:fe])   # [F, N]
-        vals = fields[:, np.maximum(samples, 0)]             # [F, C, S]
-        vals = np.where(smask[None], vals, -np.inf)
-        m = vals.max(axis=2)                                 # [F, C]
+        fs = _pad_rows(samples[f0:fe].astype(np.int32), field_batch, -1)
+        m = np.asarray(_fields_component_max(
+            in_idx_d, in_w_d, jnp.asarray(fs), eval_d, mask_d, n))  # [F, C]
 
         sel = (b_pos >= f0) & (b_pos < fe)
         max_over_b_at_a[sel] = np.maximum(

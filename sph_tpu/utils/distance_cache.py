@@ -41,7 +41,10 @@ class DistanceCache:
         else:
             idx, dist, mask = graph.indices, graph.distances, graph.mask
         self._idx, self._dist, self._mask = idx, dist, mask
-        self._in_idx, self._in_w = build_reverse_adjacency(idx, dist, mask)
+        import jax.numpy as jnp
+        in_idx, in_w = build_reverse_adjacency(idx, dist, mask)
+        # adjacency uploads once; every field compute reuses the device copy
+        self._in_idx, self._in_w = jnp.asarray(in_idx), jnp.asarray(in_w)
         self._n = int(idx.shape[0])
         self.max_fields = max(1, int(max_fields))
         self._fields: "OrderedDict[int, np.ndarray]" = OrderedDict()
