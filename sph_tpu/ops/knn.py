@@ -236,6 +236,95 @@ def knn_bruteforce(data: np.ndarray, k: int,
     return idx.astype(np.int32), dist.astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric", "col_block",
+                                              "l2_squared"))
+def _knn_queries_device(data: jax.Array, queries: jax.Array,
+                        q_ids: jax.Array, n_valid: jax.Array, k: int,
+                        metric: str, col_block: int, l2_squared: bool
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Exact kNN for an explicit query block against the full base.
+
+    data: [Np, D] zero-padded base; queries: [Qp, D] rows sliced from it
+    (already metric-normalized); q_ids: [Qp] global row ids (-1 pad rows).
+    Same streaming top-k as `_knn_device`, but only Qp rows — used to
+    refill the handful of rows an approximate tier left incomplete
+    without re-running the full N x N pass.
+    """
+    npad, _ = data.shape
+    num_col_blocks = npad // col_block
+    sq_norms = jnp.sum(data * data, axis=1)
+    q_sq = jnp.sum(queries * queries, axis=1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, col_block), 1)
+
+    def col_step(carry, cb):
+        top_d, top_i = carry
+        cols = jax.lax.dynamic_slice_in_dim(data, cb * col_block, col_block)
+        col_sq = jax.lax.dynamic_slice_in_dim(sq_norms, cb * col_block,
+                                              col_block)
+        ip = jnp.dot(queries, cols.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        if metric == "l2":
+            dist = q_sq[:, None] + col_sq[None, :] - 2.0 * ip
+            dist = jnp.maximum(dist, 0.0)
+        elif metric == "cosine":
+            dist = jnp.maximum(2.0 - 2.0 * ip, 0.0)
+        else:  # inner_product
+            dist = -ip
+        ids = jnp.broadcast_to(col_ids + cb * col_block, dist.shape)
+        if metric != "inner_product":
+            dist = jnp.where(ids == q_ids[:, None], 0.0, dist)
+        dist = jnp.where(ids >= n_valid, jnp.inf, dist)
+        merged_d = jnp.concatenate([top_d, dist], axis=1)
+        merged_i = jnp.concatenate([top_i, ids], axis=1)
+        sd, si = jax.lax.sort((merged_d, merged_i), num_keys=1,
+                              dimension=1, is_stable=True)
+        return (sd[:, :k], si[:, :k]), None
+
+    qp = queries.shape[0]
+    init = (jnp.full((qp, k), jnp.inf, jnp.float32),
+            jnp.full((qp, k), -1, jnp.int32))
+    (top_d, top_i), _ = jax.lax.scan(col_step, init,
+                                     jnp.arange(num_col_blocks))
+    if metric in ("l2", "cosine"):
+        top_d = jnp.where(top_d <= _F32_EPS, 0.0, top_d)
+        if metric == "cosine" or not l2_squared:
+            top_d = jnp.sqrt(top_d)
+    return top_i, top_d
+
+
+def knn_exact_rows(data: np.ndarray, rows: np.ndarray, k: int,
+                   metric: KnnMetric = KnnMetric.L2,
+                   l2_squared: bool = False,
+                   col_block: int = 2048) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact kNN restricted to `rows` query ids (refill / serving path).
+
+    Returns (indices [M, k] int32, distances [M, k] f32) matching
+    `knn_bruteforce`'s semantics for those rows.  Query count is padded
+    to a power-of-two bucket so repeated refills share compiled shapes.
+    """
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    n, _ = data.shape
+    rows = np.asarray(rows, dtype=np.int64)
+    m = rows.shape[0]
+    if metric == KnnMetric.COSINE:
+        norms = np.linalg.norm(data, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        data = data / norms
+    npad = _ceil_to(n, min(col_block, _ceil_to(n, 128)))
+    cb = min(col_block, npad)
+    base = jnp.asarray(_pad_rows(data, npad))
+    qp = max(8, 1 << (m - 1).bit_length())
+    q = np.zeros((qp, data.shape[1]), dtype=np.float32)
+    q[:m] = data[rows]
+    q_ids = np.full(qp, -1, dtype=np.int32)
+    q_ids[:m] = rows
+    ti, td = _knn_queries_device(base, jnp.asarray(q), jnp.asarray(q_ids),
+                                 jnp.int32(n), k, metric.value, cb,
+                                 l2_squared)
+    return (np.asarray(ti[:m]).astype(np.int32),
+            np.asarray(td[:m]).astype(np.float32))
+
+
 # ---------------------------------------------------------------------------
 # IVF tier: k-means coarse quantizer + cluster-grouped exact search
 # ---------------------------------------------------------------------------
@@ -548,8 +637,14 @@ def knn_ivf(data: np.ndarray, k: int,
 # ---------------------------------------------------------------------------
 
 def index_heuristic(num_points: int) -> KnnIndex:
-    """Reference: sph/NearestNeighbors.hpp:50-63."""
-    if num_points <= 10_000:
+    """Size-tier engine choice (reference: sph/NearestNeighbors.hpp:50-63).
+
+    The reference's brute-force cutoff is 10k (CPU SIMD heaps); on the MXU
+    the blocked exact pass is ~1 s at 14k and the IVF tier's k-means +
+    grouping overhead only pays for itself well past that, so the exact
+    tier extends to 50k here.
+    """
+    if num_points <= 50_000:
         return KnnIndex.BRUTE_FORCE
     if num_points <= 100_000:
         return KnnIndex.IVF_FLAT
@@ -584,11 +679,27 @@ def compute_knn(data: np.ndarray, k: int,
         idx, dist = knn_ivf(data, k, metric, l2_squared, seed=seed,
                             quantize=quantize)
         # reference refills missing neighbors with an exact pass
-        # (Knn.cpp:214-243); here: any -1 entries trigger exact fallback
+        # (Knn.cpp:214-243); here: incomplete rows get a targeted exact
+        # refill (query-block kernel) — only a widespread failure falls
+        # back to the full N x N recompute
         if np.any(idx < 0):
-            Log.warn("compute_knn: IVF left missing neighbors, "
-                     "falling back to exact (reference: "
-                     "NearestNeighbors.cpp:143-148)")
-            return knn_bruteforce(data, k, metric, l2_squared)
+            miss = np.unique(np.nonzero(idx < 0)[0])
+            if miss.size > max(1024, idx.shape[0] // 4):
+                Log.warn("compute_knn: IVF left %d/%d incomplete rows, "
+                         "falling back to exact (reference: "
+                         "NearestNeighbors.cpp:143-148)", miss.size,
+                         idx.shape[0])
+                return knn_bruteforce(data, k, metric, l2_squared)
+            Log.warn("compute_knn: exact refill of %d/%d incomplete IVF "
+                     "rows (reference: NearestNeighbors.cpp:143-148)",
+                     miss.size, idx.shape[0])
+            ridx, rdist = knn_exact_rows(data, miss, k, metric, l2_squared)
+            idx = idx.copy()
+            dist = dist.copy()
+            idx[miss] = ridx
+            dist[miss] = rdist
+            from .graph import ensure_self_first
+            idx, dist, _ = ensure_self_first(idx, dist)
+            return idx.astype(np.int32), dist.astype(np.float32)
         return idx, dist
     raise ValueError(f"unknown index {index}")

@@ -70,8 +70,46 @@ def test_ivf_recall():
 
 def test_index_heuristic():
     assert index_heuristic(5_000) == KnnIndex.BRUTE_FORCE
-    assert index_heuristic(50_000) == KnnIndex.IVF_FLAT
+    # MXU exact tier extends past the reference's 10k CPU cutoff
+    assert index_heuristic(50_000) == KnnIndex.BRUTE_FORCE
+    assert index_heuristic(80_000) == KnnIndex.IVF_FLAT
     assert index_heuristic(1_000_000) == KnnIndex.HNSW
+
+
+def test_knn_exact_rows_matches_bruteforce():
+    from sph_tpu.ops.knn import knn_exact_rows
+    pos, _ = create_3d_gaussians(500, random_state=4,
+                                 centers=np.array([[0, 0, 0], [8, 8, 8]]))
+    idx_e, dist_e = knn_bruteforce(pos, 8)
+    rows = np.array([0, 17, 123, 499])
+    ridx, rdist = knn_exact_rows(pos, rows, 8)
+    np.testing.assert_array_equal(ridx, idx_e[rows])
+    np.testing.assert_allclose(rdist, dist_e[rows], rtol=1e-6, atol=1e-6)
+
+
+def test_ivf_missing_rows_refilled_exactly():
+    # k larger than most inverted lists: IVF leaves -1s, the dispatch
+    # must refill those rows with the exact pass instead of recomputing
+    # the full N x N (reference: Knn.cpp:214-243 refill semantics)
+    from sph_tpu.ops.knn import knn_ivf
+    pos, _ = create_3d_gaussians(600, random_state=5,
+                                 centers=np.array([[0, 0, 0], [9, 9, 9],
+                                                   [-9, 9, 0]]))
+    raw_i, _ = knn_ivf(pos, 64, seed=0)
+    miss = np.unique(np.nonzero(raw_i < 0)[0])
+    assert miss.size > 0, "config no longer exercises the refill path"
+    idx, dist = compute_knn(pos, 64, KnnIndex.IVF_FLAT)
+    assert np.all(idx >= 0)
+    assert np.all(idx[:, 0] == np.arange(600))
+    # the rows that were incomplete must now be EXACT (not approximate):
+    # the driven property is the targeted refill, not aggregate IVF
+    # recall, which is platform-sensitive at this tiny N / large k
+    idx_e, dist_e = knn_bruteforce(pos, 64)
+    sets_match = [set(idx[r]) == set(idx_e[r]) for r in miss]
+    assert np.mean(sets_match) == 1.0
+    np.testing.assert_allclose(np.sort(dist[miss], axis=1),
+                               np.sort(dist_e[miss], axis=1),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_compute_knn_dispatch():
