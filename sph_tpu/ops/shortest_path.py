@@ -138,14 +138,60 @@ def _fields_component_max(in_idx: jax.Array, in_w: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
-def _fields_values_at(in_idx: jax.Array, in_w: jax.Array,
-                      field_samples: jax.Array, eval_ids: jax.Array,
-                      max_iter: int) -> jax.Array:
-    """Converged fields evaluated at explicit node ids: [F, E] values
-    (device-resident fields, only the evaluations transfer)."""
+def _fields_pair_values(in_idx: jax.Array, in_w: jax.Array,
+                        field_samples: jax.Array, eval_ids: jax.Array,
+                        field_of_eval: jax.Array, max_iter: int) -> jax.Array:
+    """Converged fields evaluated at per-pair (field, node) coordinates.
+
+    eval_ids: [E] node ids (-1 pad); field_of_eval: [E] field row in
+    [0, F) (-1 pad).  Returns [E] f32 D_{field_of_eval[j]}(eval_ids[j]).
+    Only the E needed scalars cross to the host — the [F, N] fields and
+    the [F, E] cross product never materialize off-device (the previous
+    formulation shipped the full [F, E] matrix per batch and used ~one
+    value per column: 103 MB D2H per batch at Pines-GEO scale).
+    The selection is a major-axis row gather of the transposed fields
+    plus a lane compare+select — no per-element gathers.
+    """
     n = in_idx.shape[0]
+    f = field_samples.shape[0]
     d = _bellman_ford(in_idx, in_w, _source_init(field_samples, n), max_iter)
-    return d[:, jnp.where(eval_ids < 0, 0, eval_ids)]
+    sub = d.T[jnp.where(eval_ids < 0, 0, eval_ids), :]        # [E, F]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, f), 1)
+    vals = jnp.min(jnp.where(lane == field_of_eval[:, None], sub, jnp.inf),
+                   axis=1)
+    return jnp.where(field_of_eval < 0, jnp.inf, vals)
+
+
+def _pair_values_batched(in_idx_d, in_w_d, srcs: np.ndarray,
+                         field_pos: np.ndarray, eval_nodes: np.ndarray,
+                         field_batch: int) -> np.ndarray:
+    """Singleton-source SSSP values at per-pair eval nodes.
+
+    srcs: [S] unique source node ids (one field each); field_pos: [E]
+    index into srcs per pair; eval_nodes: [E] node to evaluate that
+    pair's field at.  Returns [E] f32 (inf where unreachable).  Batches
+    over fields; each batch only evaluates its own pairs, padded to a
+    power-of-two bucket so batches share compiled shapes.
+    """
+    n = in_idx_d.shape[0]
+    e = len(field_pos)
+    out = np.full(e, np.inf, dtype=np.float32)
+    for f0 in range(0, len(srcs), field_batch):
+        fe = min(f0 + field_batch, len(srcs))
+        fs = _pad_rows(srcs[f0:fe, None].astype(np.int32), field_batch, -1)
+        sel = np.nonzero((field_pos >= f0) & (field_pos < fe))[0]
+        if sel.size == 0:
+            continue
+        width = max(128, 1 << int(sel.size - 1).bit_length())
+        ev = np.full(width, -1, dtype=np.int32)
+        ev[:sel.size] = eval_nodes[sel]
+        fo = np.full(width, -1, dtype=np.int32)
+        fo[:sel.size] = field_pos[sel] - f0
+        vals = np.asarray(_fields_pair_values(
+            in_idx_d, in_w_d, jnp.asarray(fs), jnp.asarray(ev),
+            jnp.asarray(fo), n))
+        out[sel] = vals[:sel.size]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
@@ -363,23 +409,13 @@ def contracted_geodesic_pairs(hierarchy, data: np.ndarray, level: int,
     w = hausdorff_point_set_distance(data, rep_a, rep_b)
     in_idx, in_w = _edge_list_reverse(c, src, dst, w)
 
-    e = len(a)
-    out = np.full(e, _FLOAT_MAX, dtype=np.float32)
     srcs = np.unique(a)
     pos = np.full(int(srcs.max()) + 1, -1, dtype=np.int64)
     pos[srcs] = np.arange(len(srcs))
-    ap = pos[a]
     in_idx_d, in_w_d = jnp.asarray(in_idx), jnp.asarray(in_w)
-    eval_d = jnp.asarray(np.asarray(b, np.int32))
-    for f0 in range(0, len(srcs), batch):
-        fe = min(f0 + batch, len(srcs))
-        fs = _pad_rows(srcs[f0:fe, None].astype(np.int32), batch, -1)
-        fields = np.asarray(_fields_values_at(
-            in_idx_d, in_w_d, jnp.asarray(fs), eval_d, c))   # [F, E]
-        sel = (ap >= f0) & (ap < fe)
-        vals = fields[ap[sel] - f0, np.nonzero(sel)[0]]
-        out[sel] = np.where(np.isfinite(vals), vals, _FLOAT_MAX)
-    return out
+    vals = _pair_values_batched(in_idx_d, in_w_d, srcs, pos[a],
+                                np.asarray(b, np.int32), batch)
+    return np.where(np.isfinite(vals), vals, _FLOAT_MAX).astype(np.float32)
 
 
 _SKETCH_CACHE: dict = {}
@@ -609,27 +645,15 @@ def geodesic_component_distances(graph, data: np.ndarray, hierarchy,
             srcs = np.unique(np.concatenate([a[todo], b[todo]]))
             src_pos = np.full(int(srcs.max()) + 1, -1, dtype=np.int64)
             src_pos[srcs] = np.arange(len(srcs))
-            ta = src_pos[a[todo]]
-            tb = src_pos[b[todo]]
-            v_ab = np.full(todo.size, np.inf, dtype=np.float32)
-            v_ba = np.full(todo.size, np.inf, dtype=np.float32)
-            n = in_idx.shape[0]
             in_idx_d = jnp.asarray(in_idx)
             in_w_d = jnp.asarray(in_w)
-            eval_d = jnp.asarray(np.concatenate([b[todo], a[todo]])
-                                 .astype(np.int32))
-            for f0 in range(0, len(srcs), field_batch):
-                fe = min(f0 + field_batch, len(srcs))
-                fs = _pad_rows(srcs[f0:fe, None].astype(np.int32),
-                               field_batch, -1)
-                vals = np.asarray(_fields_values_at(
-                    in_idx_d, in_w_d, jnp.asarray(fs), eval_d, n))
-                sel = (ta >= f0) & (ta < fe)
-                v_ab[sel] = vals[ta[sel] - f0, np.nonzero(sel)[0]]
-                sel = (tb >= f0) & (tb < fe)
-                v_ba[sel] = vals[tb[sel] - f0,
-                                 todo.size + np.nonzero(sel)[0]]
-            haus0 = np.maximum(v_ab, v_ba)
+            # one [E] value per direction; fields stay on device and only
+            # the per-pair scalars transfer (_fields_pair_values)
+            field_pos = np.concatenate([src_pos[a[todo]], src_pos[b[todo]]])
+            eval_nodes = np.concatenate([b[todo], a[todo]]).astype(np.int32)
+            vals = _pair_values_batched(in_idx_d, in_w_d, srcs, field_pos,
+                                        eval_nodes, field_batch)
+            haus0 = np.maximum(vals[:todo.size], vals[todo.size:])
             ok = np.isfinite(haus0)
             out[todo[ok]] = haus0[ok]
         if component_labels is not None:
