@@ -446,6 +446,21 @@ def _kmeans(data: jax.Array, n_valid, init: jax.Array, nlist: int,
     return cents, assign
 
 
+def sq8_reconstruct(data: np.ndarray) -> np.ndarray:
+    """HNSWSQ-tier 8-bit scalar quantization round-trip (reference: Knn.cpp
+    computeIndexHNSWSQ:246-319 with faiss QT_8bit): per-dimension affine
+    int8 codes; candidates are scored on dequantized values, quartering the
+    resident dataset memory at very large N.  Shared by the IVF scoring
+    path and the exact refill so one result never mixes full-precision and
+    reconstruction distance scales.
+    """
+    lo = data.min(axis=0)
+    hi = data.max(axis=0)
+    scale_q = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    codes = np.clip(np.round((data - lo) / scale_q), 0, 255).astype(np.uint8)
+    return (codes.astype(np.float32) * scale_q + lo).astype(np.float32)
+
+
 def knn_ivf(data: np.ndarray, k: int,
             metric: KnnMetric = KnnMetric.L2,
             l2_squared: bool = False,
@@ -522,16 +537,7 @@ def knn_ivf(data: np.ndarray, k: int,
     np.cumsum(counts, out=starts[1:])
 
     if quantize:
-        # HNSWSQ-tier 8-bit scalar quantization (reference: Knn.cpp
-        # computeIndexHNSWSQ:246-319 with faiss QT_8bit): per-dimension
-        # affine int8 codes; candidates are scored on dequantized values,
-        # quartering the resident dataset memory at very large N.
-        lo = data.min(axis=0)
-        hi = data.max(axis=0)
-        scale_q = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
-        codes = np.clip(np.round((data - lo) / scale_q), 0,
-                        255).astype(np.uint8)
-        data = (codes.astype(np.float32) * scale_q + lo).astype(np.float32)
+        data = sq8_reconstruct(data)
 
     # nprobe nearest centroids per CLUSTER (the cluster-grouped layout
     # shares one probe set across a query cluster; see _ivf_grouped_device)
@@ -693,7 +699,12 @@ def compute_knn(data: np.ndarray, k: int,
             Log.warn("compute_knn: exact refill of %d/%d incomplete IVF "
                      "rows (reference: NearestNeighbors.cpp:143-148)",
                      miss.size, idx.shape[0])
-            ridx, rdist = knn_exact_rows(data, miss, k, metric, l2_squared)
+            # quantized tiers score on SQ8 reconstructions — refill on the
+            # same reconstruction so every row shares one distance scale
+            refill_data = sq8_reconstruct(np.ascontiguousarray(
+                data, dtype=np.float32)) if quantize else data
+            ridx, rdist = knn_exact_rows(refill_data, miss, k, metric,
+                                         l2_squared)
             idx = idx.copy()
             dist = dist.copy()
             idx[miss] = ridx

@@ -145,20 +145,19 @@ def _fields_pair_values(in_idx: jax.Array, in_w: jax.Array,
 
     eval_ids: [E] node ids (-1 pad); field_of_eval: [E] field row in
     [0, F) (-1 pad).  Returns [E] f32 D_{field_of_eval[j]}(eval_ids[j]).
-    Only the E needed scalars cross to the host — the [F, N] fields and
-    the [F, E] cross product never materialize off-device (the previous
-    formulation shipped the full [F, E] matrix per batch and used ~one
-    value per column: 103 MB D2H per batch at Pines-GEO scale).
-    The selection is a major-axis row gather of the transposed fields
-    plus a lane compare+select — no per-element gathers.
+    Only the E needed scalars cross to the host — the [F, N] fields
+    never materialize off-device (the previous formulation shipped the
+    full [F, E] matrix per batch and used ~one value per column: 103 MB
+    D2H per batch at Pines-GEO scale).  The selection gathers the E
+    needed columns of d ([F, E]) and picks one row per column — no
+    [N, F] transpose materializes, which mattered at level-0 graphs
+    where N is Salinas-sized.
     """
     n = in_idx.shape[0]
-    f = field_samples.shape[0]
     d = _bellman_ford(in_idx, in_w, _source_init(field_samples, n), max_iter)
-    sub = d.T[jnp.where(eval_ids < 0, 0, eval_ids), :]        # [E, F]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, f), 1)
-    vals = jnp.min(jnp.where(lane == field_of_eval[:, None], sub, jnp.inf),
-                   axis=1)
+    cols = jnp.take(d, jnp.where(eval_ids < 0, 0, eval_ids), axis=1)
+    fo = jnp.where(field_of_eval < 0, 0, field_of_eval)
+    vals = jnp.take_along_axis(cols, fo[None, :], axis=0)[0]
     return jnp.where(field_of_eval < 0, jnp.inf, vals)
 
 
@@ -580,7 +579,14 @@ def geodesic_hausdorff_knn(graph, hierarchy, level: int, k: int,
         m = np.asarray(_fields_component_max(
             in_idx_d, in_w_d, jnp.asarray(fs), eval_d, mask_d, n))
         term[:, f0:fe] = m[:fe - f0].T                       # max over p in a
-    term = np.where(np.isneginf(term), np.inf, term)         # empty comps
+    # every component owns >= 1 pixel by construction (each level label
+    # array maps each pixel to exactly one component), so no sample row is
+    # ever fully padded and -inf (max over an empty set) is unreachable;
+    # the rewrite pins the hypothetical empty-component case to +inf ->
+    # FLOAT_MAX rather than letting -inf be dominated by the transpose term
+    assert (np.asarray([len(r) for r in reps]) >= 1).all(), \
+        "component with no represented pixels"
+    term = np.where(np.isneginf(term), np.inf, term)
 
     h = np.maximum(term, term.T)
     np.fill_diagonal(h, 0.0)

@@ -93,7 +93,15 @@ def test_merge_sum_device_truncation_keeps_largest():
 def test_merge_lane_path_matches_host(wbs, combine):
     """Opt-in lane-local merge (SPH_MERGE_LANE_BUDGET) vs host path."""
     if combine == "min" and wbs:
-        pytest.skip("min ignores weight_by_size")
+        # min-merge has no size weighting by design (reference min
+        # semantics: SparseMatrixAlgorithms.cpp:443-484 pick one exact
+        # input value; weighting would change the value picked) — the
+        # parameter is structurally unrepresentable, so passing it raises
+        with pytest.raises(TypeError):
+            merge_rows_min_by_parents(random_sparse(8, 3, seed=0),
+                                      np.zeros(8, np.int64), 1,
+                                      weight_by_size=True)
+        return
     sr = random_sparse(400, 12, seed=11)
     rng = np.random.default_rng(13)
     m = 90
