@@ -122,8 +122,24 @@ class ImageHierarchy:
 
     # ------------------------------------------------------------------
 
+    def set_preparations(self, data_level_probdist: SparseRows,
+                         walks: Optional[SparseRows] = None):
+        """Inject precomputed stage-1 preparations (data-level probdist and
+        optionally the data-level random walks) so compute() skips the
+        per-scene normalize + walk simulation.  Used by the batched
+        multi-scene path (parallel/sharded.multi_scene_stage1), which
+        computes these for all scenes in one sharded device program —
+        the TPU-parallel replacement for the reference's strictly serial
+        per-scene outer loop (RunEvaluation.cpp:148-172)."""
+        self._preset_probdist = data_level_probdist
+        self._preset_walks = walks
+
     def _compute_preparations(self):
         """Reference: ImageHierarchy.cpp:149-190."""
+        preset_pd = getattr(self, "_preset_probdist", None)
+        if preset_pd is not None:
+            self._prepare_from_preset(preset_pd)
+            return
         Log.info("ImageHierarchy::computePreparations: normalize knn "
                  "distances with %s", self._ihs.norm_knn_distances.value)
         n = self._data.shape[0]
@@ -182,6 +198,40 @@ class ImageHierarchy:
                         np.where(mask, knn_idx, -1).astype(np.int32),
                         np.where(mask, knn_dist, 0.0).astype(np.float32), n)
                 self.hierarchy.merged_data_graphs.append(dist_rows)
+
+    def _prepare_from_preset(self, preset_pd: SparseRows):
+        """Preparations from injected stage-1 outputs (multi-scene path)."""
+        n = self._data.shape[0]
+        assert preset_pd.num_rows == n
+        self.data_level_probdist = preset_pd
+        self.hierarchy.clear()
+        self.hierarchy.init_first_level(n)
+
+        if self._ihs.component_sim in (
+                ComponentSim.NEIGH_WALKS,
+                ComponentSim.NEIGH_WALKS_SINGLE_OVERLAP,
+                ComponentSim.GEO_WALKS):
+            self._rw_lengths = [self._rws.single_walk_length]
+            walks = getattr(self, "_preset_walks", None)
+            if walks is None:
+                walks = do_random_walks(self.data_level_probdist,
+                                        self._rws, self._ihs.verbose)
+            self.hierarchy.random_walks.append(walks)
+            n2 = float(n) * n
+            self.stats.rw_sparsities.append(1.0 - walks.nnz() / n2)
+            if (self._ihs.rw_handling
+                    == RandomWalkHandling.MERGE_DATA_NEW_WALKS):
+                if isinstance(self._graph, KnnGraph):
+                    idx, dist = self._graph.indices, self._graph.distances
+                    mask = np.ones_like(idx, dtype=bool)
+                else:
+                    idx = self._graph.indices
+                    dist = np.where(self._graph.mask,
+                                    self._graph.distances, 0.0)
+                    mask = self._graph.mask
+                self.hierarchy.merged_data_graphs.append(SparseRows(
+                    np.where(mask, idx, -1).astype(np.int32),
+                    np.where(mask, dist, 0.0).astype(np.float32), n))
 
     def _normalize_graph_rows(self, dist, mask):
         from ..ops.distributions import distance_rows_to_probabilities

@@ -108,8 +108,12 @@ def gaussian_row_distributions(values: jax.Array, mask: jax.Array,
     # (their sum underflows to 0 -> NaN entropy); mark them done up front
     # so they don't pin the whole batch at max_iter
     init_done = row_sizes <= 1
-    init = (jnp.int32(0), jnp.ones(n, jnp.float32),
-            jnp.full(n, -big), jnp.full(n, big),
+    # derive the numeric carries from the (data-dependent) row_sizes so the
+    # carry is "varying" when traced inside shard_map (a constant init
+    # would type-mismatch the loop-carried outputs there)
+    vzero = row_sizes * 0.0
+    init = (jnp.int32(0), vzero + 1.0,
+            vzero - big, vzero + big,
             init_done, init_done)
     _, beta, _, _, found, _ = jax.lax.while_loop(cond, body, init)
     found = jnp.logical_and(found, row_sizes > 1)

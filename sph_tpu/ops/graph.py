@@ -268,41 +268,47 @@ def ensure_self_first(indices: np.ndarray, distances: np.ndarray,
 _ESF_JIT = None
 
 
-def ensure_self_first_device(indices, distances):
-    """Device body of ensure_self_first (lane-parallel select instead of the
-    host row edits): same three cases — already-first, swap the self entry
-    to slot 0, or shift right and insert (self, 0)."""
-    import jax
+def ensure_self_first_body(indices, distances):
+    """Traceable body of the device self-first fixup (lane-parallel select
+    instead of the host row edits): same three cases — already-first, swap
+    the self entry to slot 0, or shift right and insert (self, 0).  Pure
+    jax function: vmappable over a leading scene axis (each scene's rows
+    are self-indexed 0..N-1)."""
     import jax.numpy as jnp
+
+    n, k = indices.shape
+    ar = jnp.arange(n, dtype=indices.dtype)
+    is_self = indices == ar[:, None]
+    has_self = jnp.any(is_self, axis=1)
+    already = indices[:, 0] == ar
+    idx0 = indices[:, 0]
+    d0 = distances[:, 0]
+    swapped_idx = jnp.where(is_self, idx0[:, None], indices)
+    swapped_dist = jnp.where(is_self, d0[:, None], distances)
+    shifted_idx = jnp.concatenate(
+        [indices[:, :1], indices[:, :-1]], axis=1)
+    shifted_dist = jnp.concatenate(
+        [distances[:, :1], distances[:, :-1]], axis=1)
+    case_swap = (~already & has_self)[:, None]
+    case_shift = (~already & ~has_self)[:, None]
+    out_idx = jnp.where(case_swap, swapped_idx,
+                        jnp.where(case_shift, shifted_idx, indices))
+    out_dist = jnp.where(case_swap, swapped_dist,
+                         jnp.where(case_shift, shifted_dist,
+                                   distances))
+    out_idx = out_idx.at[:, 0].set(ar)
+    out_dist = out_dist.at[:, 0].set(jnp.where(already, d0, 0.0))
+    return out_idx, out_dist, jnp.sum(~already)
+
+
+def ensure_self_first_device(indices, distances):
+    """Device self-first fixup (jitted wrapper of ensure_self_first_body)."""
+    import jax
 
     global _ESF_JIT
     fn = _ESF_JIT
     if fn is None:
-        @jax.jit
-        def fn(indices, distances):
-            n, k = indices.shape
-            ar = jnp.arange(n, dtype=indices.dtype)
-            is_self = indices == ar[:, None]
-            has_self = jnp.any(is_self, axis=1)
-            already = indices[:, 0] == ar
-            idx0 = indices[:, 0]
-            d0 = distances[:, 0]
-            swapped_idx = jnp.where(is_self, idx0[:, None], indices)
-            swapped_dist = jnp.where(is_self, d0[:, None], distances)
-            shifted_idx = jnp.concatenate(
-                [indices[:, :1], indices[:, :-1]], axis=1)
-            shifted_dist = jnp.concatenate(
-                [distances[:, :1], distances[:, :-1]], axis=1)
-            case_swap = (~already & has_self)[:, None]
-            case_shift = (~already & ~has_self)[:, None]
-            out_idx = jnp.where(case_swap, swapped_idx,
-                                jnp.where(case_shift, shifted_idx, indices))
-            out_dist = jnp.where(case_swap, swapped_dist,
-                                 jnp.where(case_shift, shifted_dist,
-                                           distances))
-            out_idx = out_idx.at[:, 0].set(ar)
-            out_dist = out_dist.at[:, 0].set(jnp.where(already, d0, 0.0))
-            return out_idx, out_dist, jnp.sum(~already)
+        fn = jax.jit(ensure_self_first_body)
         _ESF_JIT = fn
     oi, od, adjusted = fn(indices, distances)
     return oi, od, int(adjusted)

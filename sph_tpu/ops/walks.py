@@ -76,7 +76,11 @@ def _simulate(indices: jax.Array, values: jax.Array, seed: jax.Array,
     w = num_walks
     cum = jnp.cumsum(jnp.where(indices >= 0, values, 0.0), axis=1)  # [C, R]
 
-    start = jnp.repeat(jnp.arange(c, dtype=jnp.int32), w)  # [C*W]
+    # derive the walker-state carry from the (data-dependent) indices so it
+    # is "varying" when traced inside shard_map (the multi-scene stage-1
+    # path); a constant init would type-mismatch the loop-carried output
+    start = jnp.repeat(jnp.arange(c, dtype=jnp.int32) + indices[:, 0] * 0,
+                       w)  # [C*W]
     key = jax.random.PRNGKey(seed)
 
     # chunk the walker axis: the per-step [walkers, R] cumsum gather is the
@@ -87,7 +91,7 @@ def _simulate(indices: jax.Array, values: jax.Array, seed: jax.Array,
     chunk = min(total, max(8192, (1 << 26) // max(r, 1)))
     npadw = ((total + chunk - 1) // chunk) * chunk
     start_p = jnp.concatenate(
-        [start, jnp.zeros(npadw - total, jnp.int32)])
+        [start, jnp.broadcast_to(start[:1] * 0, (npadw - total,))])
 
     def step(nodes, t):
         u = jax.random.uniform(jax.random.fold_in(key, t), (total,))

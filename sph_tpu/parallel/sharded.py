@@ -524,7 +524,14 @@ def sharded_umap(p_indices: np.ndarray, p_values: np.ndarray,
                        np.asarray(p_values, np.float32), p_indices.shape[0])
     uc._n = p_indices.shape[0]
     uc._memberships = lambda: uc._p  # type: ignore[assignment]
-    uc.init_optimization()
+    # the edge-sharded step consumes the flat edge list, so pin the model's
+    # state build to the edges tier regardless of the single-chip default
+    import os
+    os.environ["SPH_UMAP_EDGE_PATH"] = "1"
+    try:
+        uc.init_optimization()
+    finally:
+        os.environ.pop("SPH_UMAP_EDGE_PATH", None)
 
     e = int(uc._src.shape[0])
     epad = ((e + n_dev - 1) // n_dev) * n_dev
@@ -554,3 +561,191 @@ def sharded_umap(p_indices: np.ndarray, p_values: np.ndarray,
                         jax.random.fold_in(key, epoch),
                         jnp.int32(uc._n))
     return np.asarray(y)
+
+
+# ---------------------------------------------------------------------------
+# scene-parallel stage 1: kNN + data-level probdist + random walks
+# ---------------------------------------------------------------------------
+
+def multi_scene_stage1(datas: np.ndarray, k: int,
+                       rws=None,
+                       norm=None,
+                       mesh: Optional[Mesh] = None,
+                       axis: str = "data",
+                       seed_base: Optional[int] = None):
+    """Batched stage-1 over S same-shape scenes, sharded across the mesh.
+
+    The reference evaluates scenes strictly serially (the outer run loop,
+    RunEvaluation.cpp:148-172); here every scene's exact kNN, data-level
+    probability distribution and data-level random walks are computed in
+    ONE sharded device program — scenes never split across devices, so the
+    only communication is the initial layout.
+
+    datas: [S, N, D] float32.  Returns a dict of numpy arrays:
+      idx/dist [S, N, k]  (self-first, sorted ascending, sqrt'd L2)
+      probs    [S, N, k]  (per `norm`, ignore_first semantics)
+      walks_idx/walks_val [S, N, Wo] or None when `rws` is None
+    Feed each scene's slices to ImageHierarchy.set_preparations to run the
+    (data-dependent) level loops per scene over shared compiled kernels.
+    """
+    from ..ops.graph import ensure_self_first_body
+    from ..ops.distributions import gaussian_row_distributions, \
+        linear_row_distributions, smooth_knn_distributions
+    from ..ops.walks import _simulate, _accumulate, _postprocess, \
+        derive_prune_value
+    from ..settings import NormalizationScheme, RandomWalkSettings
+
+    if norm is None:
+        norm = NormalizationScheme.TSNE
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    s, n, d = datas.shape
+    spad = ((s + n_dev - 1) // n_dev) * n_dev
+
+    col_block = 256
+    npad = ((n + col_block - 1) // col_block) * col_block
+    padded = np.zeros((spad, npad, d), np.float32)
+    padded[:s, :n] = datas
+
+    if rws is not None:
+        w = int(rws.num_random_walks)
+        length = int(rws.single_walk_length)
+        cap = rws.max_row_nnz or min(w * length, 2048)
+        out_width = min(cap, w * length, n)
+        prune_value = derive_prune_value(rws)
+        if seed_base is None:
+            seed_base = int(rws.random_seed)
+    seeds = np.arange(spad, dtype=np.uint32) + np.uint32(seed_base or 0)
+
+    def one_scene(pts, seed):
+        # streaming exact self-kNN (same math as ops.knn._knn_device)
+        row_sq = jnp.sum(pts * pts, axis=1)
+        nblk = npad // col_block
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (npad, col_block), 1)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, col_block), 0)
+
+        def col_step(carry, cb):
+            top_d, top_i = carry
+            cols = jax.lax.dynamic_slice_in_dim(pts, cb * col_block,
+                                                col_block)
+            csq = jax.lax.dynamic_slice_in_dim(row_sq, cb * col_block,
+                                               col_block)
+            ip = jnp.dot(pts, cols.T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            d2 = jnp.maximum(row_sq[:, None] + csq[None, :] - 2.0 * ip, 0.0)
+            ids = col_iota + cb * col_block
+            d2 = jnp.where(ids == row_ids, 0.0, d2)
+            d2 = jnp.where(ids >= n, jnp.inf, d2)
+            md = jnp.concatenate([top_d, d2], axis=1)
+            mi = jnp.concatenate([top_i, ids], axis=1)
+            sd, si = jax.lax.sort((md, mi), num_keys=1, dimension=1,
+                                  is_stable=True)
+            return (sd[:, :k], si[:, :k]), None
+
+        # pcast to varying: the carry is per-device state inside shard_map
+        init = (jax.lax.pcast(jnp.full((npad, k), jnp.inf, jnp.float32),
+                              axis, to="varying"),
+                jax.lax.pcast(jnp.full((npad, k), -1, jnp.int32),
+                              axis, to="varying"))
+        (top_d, top_i), _ = jax.lax.scan(col_step, init, jnp.arange(nblk))
+        top_d = jnp.sqrt(jnp.where(top_d <= 1.2e-7, 0.0, top_d))
+        idx, dist, _ = ensure_self_first_body(top_i[:n], top_d[:n])
+
+        mask = jnp.ones_like(idx, dtype=bool)
+        if norm == NormalizationScheme.TSNE:
+            probs = gaussian_row_distributions(dist, mask, jnp.float32(-1.0),
+                                               ignore_first=True)
+        elif norm == NormalizationScheme.LINEAR:
+            m2 = mask.at[:, 0].set(False)
+            probs = linear_row_distributions(dist, m2)
+        else:  # UMAP
+            m2 = mask.at[:, 0].set(False)
+            probs = smooth_knn_distributions(dist, m2)
+            ps = jnp.sum(probs, axis=1, keepdims=True)
+            probs = jnp.where(ps > 0, probs / jnp.maximum(ps, 1e-38), 0.0)
+
+        if rws is None:
+            return idx, dist, probs, jnp.zeros((n, 1), jnp.int32), \
+                jnp.zeros((n, 1), jnp.float32)
+        p_idx = jnp.where(mask, idx, -1)
+        visited = _simulate(p_idx, probs, seed, w, length)
+        widx, wval = _accumulate(visited, w, length,
+                                 rws.importance_weighting.value, out_width)
+        widx, wval = _postprocess(widx, wval, jnp.float32(prune_value),
+                                  rws.remove_diagonal, rws.normalize)
+        return idx, dist, probs, widx, wval
+
+    batched = shard_map(
+        lambda ps, sd: jax.vmap(one_scene)(ps, sd),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)))
+
+    pts_s = shard_rows(mesh, jnp.asarray(padded), axis)
+    seeds_s = shard_rows(mesh, jnp.asarray(seeds), axis)
+    idx, dist, probs, widx, wval = jax.jit(batched)(pts_s, seeds_s)
+
+    out = {
+        "idx": np.asarray(idx)[:s].astype(np.int32),
+        "dist": np.asarray(dist)[:s].astype(np.float32),
+        "probs": np.asarray(probs)[:s].astype(np.float32),
+        "walks_idx": None, "walks_val": None,
+    }
+    if rws is not None:
+        out["walks_idx"] = np.asarray(widx)[:s].astype(np.int32)
+        out["walks_val"] = np.asarray(wval)[:s].astype(np.float32)
+    return out
+
+
+def multi_scene_hierarchy(datas: np.ndarray, rows: int, cols: int,
+                          k: int, ihs=None, rws=None, lss=None,
+                          mesh: Optional[Mesh] = None,
+                          axis: str = "data"):
+    """End-to-end scene-parallel hierarchy: batched stage-1 on the mesh,
+    then per-scene Borůvka level loops + level similarities on host over
+    SHARED compiled kernels (levels are data-dependent per scene; the
+    row-bucketed per-level kernels make the serial loops reuse the same
+    executables across scenes).
+
+    Returns a list of (ImageHierarchy, LevelSimilarities or None) per
+    scene.  Reference analogue being parallelized: the strictly serial
+    outer run loop, RunEvaluation.cpp:148-172.
+    """
+    from ..models.image_hierarchy import ImageHierarchy
+    from ..models.level_similarities import LevelSimilarities
+    from ..ops.graph import KnnGraph
+    from ..ops.sparse import SparseRows
+    from ..settings import ImageHierarchySettings, RandomWalkSettings
+
+    ihs = ihs or ImageHierarchySettings()
+    rws = rws or RandomWalkSettings()
+    s, n, d = datas.shape
+    assert n == rows * cols
+
+    stage1 = multi_scene_stage1(datas, k, rws=rws,
+                                norm=ihs.norm_knn_distances,
+                                mesh=mesh, axis=axis)
+
+    results = []
+    for i in range(s):
+        g = KnnGraph(stage1["idx"][i], stage1["dist"][i])
+        ih = ImageHierarchy(g, datas[i], rows, cols)
+        ih.set_settings(ihs, rws)
+        pd = SparseRows(
+            np.where(stage1["probs"][i] > 0, stage1["idx"][i], -1
+                     ).astype(np.int32),
+            stage1["probs"][i], n)
+        walks = SparseRows(stage1["walks_idx"][i],
+                           stage1["walks_val"][i], n)
+        ih.set_preparations(pd, walks)
+        ih.compute()
+        ls = None
+        if lss is not None:
+            import dataclasses
+            ls = LevelSimilarities(ih.hierarchy, g, datas[i],
+                                   dataclasses.replace(lss))
+            ls.set_image_hierarchy(ih)
+            ls.compute()
+        results.append((ih, ls))
+    return results

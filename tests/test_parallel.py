@@ -218,3 +218,114 @@ def test_sharded_grid_tsne_finite_and_separates():
                                     axis=1).mean() for c in range(2)])
     inter = np.linalg.norm(cents[0] - cents[1])
     assert inter / intra > 1.5
+
+
+# ---------------------------------------------------------------------------
+# scene-parallel stage 1 + hierarchy (VERDICT r3 item 2 / BASELINE config #5)
+# ---------------------------------------------------------------------------
+
+def _scene_batch(s=4, side=10, channels=6):
+    from sph_tpu.utils.testdata import create_checker_image
+    datas = np.stack([
+        create_checker_image(side, side, channels=channels, block=5,
+                             noise=0.02, seed=100 + i
+                             ).reshape(side * side, channels)
+        for i in range(s)]).astype(np.float32)
+    return datas, side, side
+
+
+def test_multi_scene_stage1_matches_serial_ops():
+    from sph_tpu.parallel.sharded import multi_scene_stage1
+    from sph_tpu.ops.knn import compute_knn, KnnIndex
+    from sph_tpu.ops.distributions import distance_rows_to_probabilities
+    from sph_tpu.ops.walks import do_random_walks
+    from sph_tpu.settings import NormalizationScheme, RandomWalkSettings
+
+    datas, rows, cols = _scene_batch()
+    k = 8
+    rws = RandomWalkSettings(num_random_walks=8, single_walk_length=4,
+                             random_seed=3)
+    out = multi_scene_stage1(datas, k, rws=rws,
+                             norm=NormalizationScheme.TSNE)
+    assert out["idx"].shape == (4, rows * cols, k)
+
+    for i in (0, 3):
+        idx_s, dist_s = compute_knn(datas[i], k, KnnIndex.FLAT)
+        assert np.array_equal(out["idx"][i], idx_s)
+        assert np.allclose(out["dist"][i], dist_s, rtol=1e-5, atol=1e-6)
+        mask = np.ones_like(idx_s, dtype=bool)
+        probs_s = np.asarray(distance_rows_to_probabilities(
+            dist_s, mask, NormalizationScheme.TSNE, perplexity=-1.0,
+            ignore_first=True, umap_row_norm=True))
+        assert np.allclose(out["probs"][i], probs_s, rtol=1e-4, atol=1e-6)
+
+    # walks: scene seed == rws seed + scene index; scene 0 must reproduce
+    # the serial walk rows exactly (same threefry stream)
+    from sph_tpu.ops.sparse import SparseRows
+    n = rows * cols
+    pd0 = SparseRows(np.where(out["probs"][0] > 0, out["idx"][0],
+                              -1).astype(np.int32), out["probs"][0], n)
+    serial = do_random_walks(pd0, rws)
+    dense_serial = serial.to_dense()
+    widx, wval = out["walks_idx"][0], out["walks_val"][0]
+    dense_batch = np.zeros_like(dense_serial)
+    for r in range(n):
+        sel = widx[r] >= 0
+        dense_batch[r, widx[r][sel]] = wval[r][sel]
+    assert np.allclose(dense_batch, dense_serial, rtol=1e-5, atol=1e-7)
+
+
+def test_multi_scene_hierarchy_end_to_end():
+    from sph_tpu.parallel.sharded import multi_scene_hierarchy
+    from sph_tpu.settings import (ComponentSim, ImageHierarchySettings,
+                                  LevelSimilaritiesSettings,
+                                  NormalizationScheme, RandomWalkSettings)
+
+    datas, rows, cols = _scene_batch()
+    ihs = ImageHierarchySettings(component_sim=ComponentSim.NEIGH_WALKS,
+                                 merge_multiple=False, use_percentile=False)
+    rws = RandomWalkSettings(num_random_walks=10, single_walk_length=5,
+                             random_seed=1)
+    lss = LevelSimilaritiesSettings(
+        component_sim=ComponentSim.NEIGH_WALKS, ks=[8],
+        random_walk_pair_sims=True,
+        normalize_prob_dist=NormalizationScheme.TSNE,
+        compute_symmetric_prob_dist=NormalizationScheme.TSNE)
+    results = multi_scene_hierarchy(datas, rows, cols, k=8,
+                                    ihs=ihs, rws=rws, lss=lss)
+    assert len(results) == 4
+    for ih, ls in results:
+        levels = list(ih.hierarchy.num_components)
+        assert levels[0] == rows * cols
+        assert all(b < a for a, b in zip(levels, levels[1:]))
+        assert ls is not None
+        for lvl in range(ih.hierarchy.num_levels):
+            pd = ls.get_prob_dist(lvl)
+            assert pd is not None
+            assert pd.num_rows == levels[lvl]
+
+
+def test_multi_scene_hierarchy_scene0_matches_serial_pipeline():
+    """Scene 0 of the batched path must reproduce the serial
+    ComputeHierarchy levels exactly (same kNN, same probdist, same walk
+    stream, same merge decisions)."""
+    from sph_tpu.parallel.sharded import multi_scene_hierarchy
+    from sph_tpu import (ComputeHierarchy, ImageHierarchySettings,
+                         LevelSimilaritiesSettings, NearestNeighborsSettings,
+                         RandomWalkSettings)
+
+    datas, rows, cols = _scene_batch(s=2)
+    ihs = ImageHierarchySettings(merge_multiple=False, use_percentile=False)
+    rws = RandomWalkSettings(num_random_walks=10, single_walk_length=5,
+                             random_seed=1)
+    results = multi_scene_hierarchy(datas, rows, cols, k=8,
+                                    ihs=ihs, rws=rws)
+
+    ch = ComputeHierarchy().init(
+        datas[0], rows, cols, ihs=ihs, rws=rws,
+        nns=NearestNeighborsSettings(num_nearest_neighbors=8))
+    ch.compute_knn_graph()
+    ch.compute_image_hierarchy()
+    serial_levels = list(ch.image_hierarchy.hierarchy.num_components)
+    batched_levels = list(results[0][0].hierarchy.num_components)
+    assert batched_levels == serial_levels
