@@ -97,14 +97,18 @@ def main():
     gt = exact_query_knn(data, q_ids, k)
     gt_s = time.perf_counter() - t0
 
-    configs = [("ivf", False, p, nl) for p in nprobes for nl in nlists]
+    configs = [("ivf", "flat", p, nl) for p in nprobes for nl in nlists]
     if os.environ.get("RECALL_QUANTIZE") == "1":
-        configs += [("ivf_sq8", True, p, nl)
+        configs += [("ivf_sq8", "sq8", p, nl)
+                    for p in nprobes for nl in nlists]
+    if os.environ.get("RECALL_PQ") == "1":
+        configs += [("ivf_pq", "pq", p, nl)
                     for p in nprobes for nl in nlists]
 
-    for name, quant, nprobe, nlist in configs:
+    for name, codec, nprobe, nlist in configs:
         t1 = time.perf_counter()
-        idx, _ = knn_ivf(data, k, quantize=quant,
+        idx, _ = knn_ivf(data, k, quantize=(codec == "sq8"),
+                         pq=(codec == "pq"),
                          nlist=(None if nlist == 0 else nlist),
                          nprobe=(None if nprobe == 0 else nprobe),
                          query_rows=q_ids)
@@ -120,6 +124,9 @@ def main():
                        "dataset": kind,
                        "nlist": nlist or "max(100, sqrt(n))",
                        "nprobe": nprobe or "sqrt(nlist)",
+                       "codec_bytes_per_vec": (
+                           16 if codec == "pq"
+                           else d if codec == "sq8" else 4 * d),
                        "query_s": round(q_s, 2),
                        "ground_truth_s": round(gt_s, 2)}}), flush=True)
 

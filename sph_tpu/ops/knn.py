@@ -446,6 +446,151 @@ def _kmeans(data: jax.Array, n_valid, init: jax.Array, nlist: int,
     return cents, assign
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (the HNSW_IVFPQ tier's codec)
+# ---------------------------------------------------------------------------
+# Reference: Knn.cpp computeIndexHNSW_IVFPQ:322-368 — faiss IndexIVFPQ with
+# m=16 subquantizers, nbits=8, residual encoding (FAISS by_residual default):
+# each database vector is stored as 16 one-byte centroid ids over the
+# RESIDUAL x - coarse_centroid(x), i.e. 16 bytes/vector instead of 4*D.
+#
+# TPU-first scoring: FAISS's per-query LUT gathers are the CPU idiom; on TPU
+# per-element gathers are the slow path, so candidates are DECODED on the fly
+# — one_hot(codes) @ codebook is a batched [seg, 256] x [256, ds] MXU matmul
+# per subspace — and scored with the same [seg, seg] distance tiles as the
+# flat tier.  Asymmetric (ADC): queries stay full precision.
+
+
+def pq_train(data: np.ndarray, cents: np.ndarray, assign: np.ndarray,
+             m: int = 16, ksub: int = 256, sample: int = 65536,
+             seed: int = 0, iters: int = 10) -> np.ndarray:
+    """Train per-subspace codebooks on coarse residuals.
+
+    Returns codebooks [m, ksub, ds] f32 where ds = ceil(D/m); the input
+    dimensionality is zero-padded to m*ds (centroids learn ~0 there, so
+    padded dims contribute ~nothing to ADC distances).
+    """
+    n, d = data.shape
+    ds = (d + m - 1) // m
+    rng = np.random.default_rng(seed)
+    take = rng.choice(n, min(sample, n), replace=False)
+    resid = data[take] - cents[assign[take]]
+    if m * ds != d:
+        resid = np.pad(resid, ((0, 0), (0, m * ds - d)))
+    sub = resid.reshape(-1, m, ds)
+
+    codebooks = np.zeros((m, ksub, ds), np.float32)
+    block = min(65536, _ceil_to(sub.shape[0], 1024))
+    for s in range(m):
+        x = np.ascontiguousarray(sub[:, s, :], np.float32)
+        kk = min(ksub, x.shape[0])
+        init = x[rng.choice(x.shape[0], kk, replace=False)]
+        if kk < ksub:
+            init = np.pad(init, ((0, ksub - kk), (0, 0)))
+        npad = _ceil_to(x.shape[0], block)
+        cb, _ = _kmeans(jnp.asarray(_pad_rows(x, npad)),
+                        jnp.int32(x.shape[0]), jnp.asarray(init), ksub,
+                        iters, block=block)
+        codebooks[s] = np.asarray(cb)
+    return codebooks
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _pq_encode_block(resid: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """Assign each subvector to its nearest codebook centroid.
+
+    resid: [B, m, ds]; codebooks: [m, ksub, ds].  Returns [B, m] uint8.
+    """
+    # [m, B, ds] x [m, ds, ksub] -> [m, B, ksub] batched MXU matmul
+    r = jnp.swapaxes(resid, 0, 1)
+    ip = jnp.einsum("mbd,mkd->mbk", r, codebooks,
+                    preferred_element_type=jnp.float32)
+    csq = jnp.sum(codebooks * codebooks, axis=2)          # [m, ksub]
+    d2 = csq[:, None, :] - 2.0 * ip                       # + |r|^2 const/row
+    return jnp.argmin(d2, axis=2).astype(jnp.uint8).T     # [B, m]
+
+
+def pq_encode(data: np.ndarray, cents: np.ndarray, assign: np.ndarray,
+              codebooks: np.ndarray, block: int = 131072) -> np.ndarray:
+    """Encode all vectors' coarse residuals as [N, m] uint8 codes."""
+    n, d = data.shape
+    m, _, ds = codebooks.shape
+    cb_d = jnp.asarray(codebooks)
+    out = np.empty((n, m), np.uint8)
+    for b0 in range(0, n, block):
+        be = min(b0 + block, n)
+        resid = data[b0:be] - cents[assign[b0:be]]
+        if m * ds != d:
+            resid = np.pad(resid, ((0, 0), (0, m * ds - d)))
+        out[b0:be] = np.asarray(_pq_encode_block(
+            jnp.asarray(resid.reshape(be - b0, m, ds)), cb_d))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "l2_squared"))
+def _ivf_grouped_device_pq(data: jax.Array, codes: jax.Array,
+                           codebooks: jax.Array, cents: jax.Array,
+                           seg_cluster: jax.Array, segtab: jax.Array,
+                           qtab: jax.Array, qsegs_psegs: jax.Array, k: int,
+                           metric: str, l2_squared: bool):
+    """PQ variant of _ivf_grouped_device: candidates are decoded from their
+    residual codes (one_hot @ codebook MXU matmuls) plus the probe
+    segment's coarse centroid; queries read full-precision rows (ADC)."""
+    _, seg = qtab.shape
+    p = qsegs_psegs.shape[1]
+    m, ksub, ds = codebooks.shape
+    dfull = m * ds
+    dpad = dfull - data.shape[1]
+
+    def one_segment(args):
+        qids, plist = args             # [seg], [P]
+        q = data[jnp.maximum(qids, 0)]             # [seg, D]
+        if dpad:
+            q = jnp.pad(q, ((0, 0), (0, dpad)))
+        qsq = jnp.sum(q * q, axis=1)
+
+        def probe_step(carry, pi):
+            top_d, top_i = carry
+            sid = plist[pi]
+            ids = jnp.where(sid >= 0, segtab[jnp.maximum(sid, 0)], -1)
+            cc = codes[jnp.maximum(ids, 0)]        # [seg, m] u8 row gather
+            oh = jax.nn.one_hot(cc, ksub, dtype=jnp.float32)  # [seg, m, ksub]
+            dec = jnp.einsum("amk,mkd->amd", oh, codebooks,
+                             preferred_element_type=jnp.float32)
+            coarse = cents[jnp.maximum(seg_cluster[jnp.maximum(sid, 0)], 0)]
+            if dpad:
+                coarse = jnp.pad(coarse, (0, dpad))
+            c = dec.reshape(seg, dfull) + coarse[None, :]
+            csq = jnp.sum(c * c, axis=1)
+            ip = jnp.dot(q, c.T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            if metric == "inner_product":
+                dist = -ip
+            else:
+                dist = jnp.maximum(qsq[:, None] + csq[None, :] - 2.0 * ip,
+                                   0.0)
+            dist = jnp.where((ids >= 0)[None, :], dist, jnp.inf)
+            dist = jnp.where((qids >= 0)[:, None], dist, jnp.inf)
+            merged_d = jnp.concatenate([top_d, dist], axis=1)
+            merged_i = jnp.concatenate(
+                [top_i, jnp.broadcast_to(ids[None, :], dist.shape)], axis=1)
+            sd, si = jax.lax.sort((merged_d, merged_i), num_keys=1,
+                                  dimension=1, is_stable=True)
+            return (sd[:, :k], si[:, :k]), None
+
+        init = (jnp.full((seg, k), jnp.inf, jnp.float32),
+                jnp.full((seg, k), -1, jnp.int32))
+        (top_d, top_i), _ = jax.lax.scan(probe_step, init, jnp.arange(p))
+        return top_d, top_i
+
+    dists, ids = jax.lax.map(one_segment, (qtab, qsegs_psegs))
+    if metric != "inner_product":
+        dists = jnp.where(dists <= _F32_EPS, 0.0, dists)
+        if not l2_squared:
+            dists = jnp.sqrt(dists)
+    return ids, dists
+
+
 def sq8_reconstruct(data: np.ndarray) -> np.ndarray:
     """HNSWSQ-tier 8-bit scalar quantization round-trip (reference: Knn.cpp
     computeIndexHNSWSQ:246-319 with faiss QT_8bit): per-dimension affine
@@ -461,6 +606,27 @@ def sq8_reconstruct(data: np.ndarray) -> np.ndarray:
     return (codes.astype(np.float32) * scale_q + lo).astype(np.float32)
 
 
+def pq_reconstruct_rows(codes: np.ndarray, cents: np.ndarray,
+                        assign: np.ndarray, codebooks: np.ndarray,
+                        d: int, block: int = 262144) -> np.ndarray:
+    """Decode PQ codes back to [N, d] f32 (coarse centroid + codebook
+    entries).  Used by the exact-refill path so refilled rows share the
+    reconstruction distance scale."""
+    n, m = codes.shape
+    ds = codebooks.shape[2]
+    cb_d = jnp.asarray(codebooks)
+    out = np.empty((n, d), np.float32)
+    for b0 in range(0, n, block):
+        be = min(b0 + block, n)
+        oh = jax.nn.one_hot(jnp.asarray(codes[b0:be]), codebooks.shape[1],
+                            dtype=jnp.float32)
+        dec = np.asarray(jnp.einsum(
+            "amk,mkd->amd", oh, cb_d,
+            preferred_element_type=jnp.float32)).reshape(be - b0, m * ds)
+        out[b0:be] = dec[:, :d] + cents[assign[b0:be]]
+    return out
+
+
 def knn_ivf(data: np.ndarray, k: int,
             metric: KnnMetric = KnnMetric.L2,
             l2_squared: bool = False,
@@ -468,6 +634,7 @@ def knn_ivf(data: np.ndarray, k: int,
             nprobe: Optional[int] = None,
             seed: int = 0,
             quantize: bool = False,
+            pq: bool = False,
             query_rows: Optional[np.ndarray] = None
             ) -> Tuple[np.ndarray, np.ndarray]:
     """Approximate kNN via IVF cluster pruning (reference: Knn.cpp
@@ -571,6 +738,16 @@ def knn_ivf(data: np.ndarray, k: int,
     segtab = flat.reshape(s_total, seg)
     seg_cluster = np.repeat(np.arange(nlist), nseg_per)
 
+    if pq:
+        # true product quantization (HNSW_IVFPQ tier): m=16 x 8-bit
+        # residual codes, ADC scoring with on-the-fly MXU decode
+        codebooks = pq_train(data, cents, assign, seed=seed)
+        codes = pq_encode(data, cents, assign, codebooks)
+        pq_state = (codes, codebooks)
+        Log.info("knn_ivf: PQ codec m=%d ksub=%d ds=%d (%d B/vec vs %d)",
+                 codebooks.shape[0], codebooks.shape[1],
+                 codebooks.shape[2], codebooks.shape[0], 4 * d)
+
     # probe SEGMENT list per cluster: all segments of each probed cluster
     psegs_counts = nseg_per[probes].sum(axis=1)            # [nlist]
     max_psegs = max(int(psegs_counts.max()), 1)
@@ -587,6 +764,21 @@ def knn_ivf(data: np.ndarray, k: int,
     data_d = jnp.asarray(data)
     segtab_d = jnp.asarray(segtab)
     psegs_d = jnp.asarray(psegs)
+
+    if pq:
+        codes_d = jnp.asarray(pq_state[0])
+        cb_d = jnp.asarray(pq_state[1])
+        cents_dev = jnp.asarray(cents.astype(np.float32))
+        segcl_d = jnp.asarray(seg_cluster.astype(np.int32))
+
+        def _score(qt_w, ps_w):
+            return _ivf_grouped_device_pq(
+                data_d, codes_d, cb_d, cents_dev, segcl_d, segtab_d,
+                qt_w, ps_w, k, metric.value, l2_squared)
+    else:
+        def _score(qt_w, ps_w):
+            return _ivf_grouped_device(data_d, segtab_d, qt_w, ps_w, k,
+                                       metric.value, l2_squared)
 
     # dispatch in windows of query segments: one monolithic map over all
     # segments runs for minutes at scale and the tunneled runtime kills
@@ -605,18 +797,13 @@ def knn_ivf(data: np.ndarray, k: int,
             qt, ps = segtab_d, psegs_d
         parts = []
         for s0 in range(0, spad, swin):
-            ib, db = _ivf_grouped_device(data_d, segtab_d,
-                                         qt[s0:s0 + swin],
-                                         ps[s0:s0 + swin], k,
-                                         metric.value, l2_squared)
+            ib, db = _score(qt[s0:s0 + swin], ps[s0:s0 + swin])
             jax.block_until_ready(db)
             parts.append((ib, db))
         ids_b = jnp.concatenate([p[0] for p in parts], axis=0)[:s_total]
         dists_b = jnp.concatenate([p[1] for p in parts], axis=0)[:s_total]
     else:
-        ids_b, dists_b = _ivf_grouped_device(data_d, segtab_d, segtab_d,
-                                             psegs_d, k,
-                                             metric.value, l2_squared)
+        ids_b, dists_b = _score(segtab_d, psegs_d)
 
     flat_q = segtab_d.reshape(-1)
     # pad lanes scatter out of bounds and drop — routing them to row 0
@@ -681,9 +868,17 @@ def compute_knn(data: np.ndarray, k: int,
                               data_dev=data_dev)
     if index in (KnnIndex.IVF_FLAT, KnnIndex.HNSW, KnnIndex.HNSWSQ,
                  KnnIndex.HNSW_IVFPQ):
-        quantize = index in (KnnIndex.HNSWSQ, KnnIndex.HNSW_IVFPQ)
+        quantize = index == KnnIndex.HNSWSQ
+        pq = index == KnnIndex.HNSW_IVFPQ
         idx, dist = knn_ivf(data, k, metric, l2_squared, seed=seed,
-                            quantize=quantize)
+                            quantize=quantize, pq=pq)
+        if pq and np.any(idx < 0):
+            # PQ reconstructions live inside knn_ivf; a targeted refill on
+            # raw data would mix distance scales (ADVICE r3), so the rare
+            # incomplete-row case recomputes exactly (uniform scale)
+            Log.warn("compute_knn: PQ tier left incomplete rows, exact "
+                     "recompute (reference: NearestNeighbors.cpp:143-148)")
+            return knn_bruteforce(data, k, metric, l2_squared)
         # reference refills missing neighbors with an exact pass
         # (Knn.cpp:214-243); here: incomplete rows get a targeted exact
         # refill (query-block kernel) — only a widespread failure falls

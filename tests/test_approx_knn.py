@@ -88,3 +88,66 @@ def test_approx_tier_in_pipeline(monkeypatch):
         d = pd.to_dense()
         assert np.allclose(d, d.T, atol=1e-5)
         assert np.all(np.isfinite(pd.values))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (HNSW_IVFPQ tier, VERDICT r3 item 7)
+# ---------------------------------------------------------------------------
+
+def _clustered_points(n=3000, d=32, blobs=12, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(blobs, d)) * 10
+    lab = rng.integers(0, blobs, n)
+    return (centers[lab] + rng.normal(size=(n, d))).astype(np.float32)
+
+
+def test_pq_codec_roundtrip_error_bounded():
+    from sph_tpu.ops.knn import (pq_train, pq_encode, pq_reconstruct_rows,
+                                 knn_ivf)
+    import sph_tpu.ops.knn as knn_mod
+    data = _clustered_points()
+    n, d = data.shape
+    # coarse quantizer like knn_ivf's
+    import jax.numpy as jnp
+    nlist = 64
+    rng = np.random.default_rng(1)
+    init = data[rng.choice(n, nlist, replace=False)]
+    block = 1024
+    npad = ((n + block - 1) // block) * block
+    pad = np.zeros((npad, d), np.float32)
+    pad[:n] = data
+    cents_d, assign_d = knn_mod._kmeans(jnp.asarray(pad), jnp.int32(n),
+                                        jnp.asarray(init), nlist, 10,
+                                        block=block)
+    cents = np.asarray(cents_d)
+    assign = np.asarray(assign_d)[:n]
+
+    cb = pq_train(data, cents, assign, m=16, seed=2)
+    assert cb.shape[0] == 16 and cb.shape[1] == 256
+    codes = pq_encode(data, cents, assign, cb)
+    assert codes.shape == (n, 16) and codes.dtype == np.uint8
+    rec = pq_reconstruct_rows(codes, cents, assign, cb, d)
+    # residual PQ at 16x8 bits on 12-blob data: reconstruction error well
+    # below the inter-blob scale
+    err = np.linalg.norm(rec - data, axis=1)
+    spread = np.linalg.norm(data - data.mean(0), axis=1).mean()
+    assert err.mean() < 0.35 * spread
+
+
+def test_pq_tier_recall_vs_exact():
+    from sph_tpu.ops.knn import compute_knn, knn_bruteforce, KnnIndex
+    data = _clustered_points()
+    k = 10
+    idx_pq, dist_pq = compute_knn(data, k, KnnIndex.HNSW_IVFPQ)
+    idx_e, _ = knn_bruteforce(data, k)
+    assert idx_pq.shape == idx_e.shape
+    assert np.all(idx_pq[:, 0] == np.arange(data.shape[0]))
+    # recall@k excluding self
+    hits = 0
+    for i in range(data.shape[0]):
+        hits += len(np.intersect1d(idx_pq[i, 1:], idx_e[i, 1:]))
+    recall = hits / (data.shape[0] * (k - 1))
+    assert recall >= 0.85, recall
+    # distances ascending per row
+    d = np.where(idx_pq >= 0, dist_pq, np.inf)
+    assert np.all(np.diff(d, axis=1) >= -1e-5)
