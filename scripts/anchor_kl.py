@@ -22,19 +22,43 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 import numpy as np
 
 
-def kl_under_p(p, emb: np.ndarray) -> float:
-    """Exact KL(P || Q(emb)) over P's off-diagonal support, full-Z Q."""
+def kl_under_p(p, emb: np.ndarray, block: int = 2048) -> float:
+    """Exact KL(P || Q(emb)) over P's off-diagonal support, full-Z Q.
+
+    Blocked over rows so it scales to Salinas level-1 (28k components:
+    a dense [N, N] f64 would be 6.4 GB; peak here is [block, N])."""
     emb = np.asarray(emb, np.float64)
-    d2 = ((emb[:, None, :] - emb[None, :, :]) ** 2).sum(-1)
-    w = 1.0 / (1.0 + d2)
-    np.fill_diagonal(w, 0.0)
-    z = w.sum()
-    pv = p.to_dense().astype(np.float64)
-    np.fill_diagonal(pv, 0.0)
-    pv /= pv.sum()
-    q = np.maximum(w / z, 1e-12)
-    mask = pv > 0
-    return float((pv[mask] * np.log(pv[mask] / q[mask])).sum())
+    n = emb.shape[0]
+
+    # z = sum of w over all off-diagonal pairs, blocked
+    z = 0.0
+    for b0 in range(0, n, block):
+        be = min(b0 + block, n)
+        d2 = ((emb[b0:be, None, :] - emb[None, :, :]) ** 2).sum(-1)
+        w = 1.0 / (1.0 + d2)
+        w[np.arange(b0, be) - b0, np.arange(b0, be)] = 0.0
+        z += w.sum()
+
+    # support-only KL terms from the sparse rows
+    idx = np.asarray(p.indices)
+    val = np.asarray(p.values, np.float64)
+    mask = (idx >= 0) & (val > 0)
+    rows = np.broadcast_to(np.arange(n)[:, None], idx.shape)
+    mask = mask & (idx != rows)                      # off-diagonal only
+    psum = val[mask].sum()
+    total = 0.0
+    for b0 in range(0, n, block):
+        be = min(b0 + block, n)
+        m = mask[b0:be]
+        if not m.any():
+            continue
+        r = rows[b0:be][m]
+        c = idx[b0:be][m]
+        pv = val[b0:be][m] / psum
+        d2 = ((emb[r] - emb[c]) ** 2).sum(-1)
+        q = np.maximum((1.0 / (1.0 + d2)) / z, 1e-12)
+        total += (pv * np.log(pv / q)).sum()
+    return float(total)
 
 
 def main():
@@ -49,12 +73,18 @@ def main():
     from sph_tpu.utils.testdata import create_hyperspectral_scene
 
     set_level("WARNING")
-    rows, cols, channels = 145, 145, 200
+    scene = os.environ.get("ANCHOR_SCENE", "pines")
+    if scene == "salinas":
+        # Salinas geometry (bench_salinas.py config) — anchors the 28k-
+        # component level-1 band where the sparse-attraction + width-cap
+        # t-SNE path operates (VERDICT r3 item 5)
+        rows, cols, channels, k, seed = 512, 217, 224, 31, 13
+    else:
+        rows, cols, channels, k, seed = 145, 145, 200, 91, 7
     tsne_iters = int(os.environ.get("ANCHOR_TSNE_ITERS", 2000))
-    k = 91
 
-    img = create_hyperspectral_scene(rows, cols, channels, seed=7)
-    stack = ImageStack.from_array(img, name="pines_synth")
+    img = create_hyperspectral_scene(rows, cols, channels, seed=seed)
+    stack = ImageStack.from_array(img, name=f"{scene}_synth")
     data = scale(stack.data, Scaler.NONE)
 
     t0 = time.perf_counter()
@@ -103,18 +133,36 @@ def main():
 
     # sklearn Barnes-Hut on the same similarity structure: precomputed
     # distances d = -log(p_sym) on the support, large off-support
+    # (dense at Pines scale, the methodology of rounds 2-3); above 10k
+    # components a dense [N, N] f64 is multi-GB, so the support distances
+    # go in as a sparse CSR (sklearn >= 1.2 BH accepts sparse precomputed)
     from sklearn.manifold import TSNE as SkTSNE
-    pd_dense = p.to_dense().astype(np.float64)
-    np.fill_diagonal(pd_dense, 0.0)
-    pd_dense = (pd_dense + pd_dense.T) * 0.5
-    with np.errstate(divide="ignore"):
-        d = -np.log(np.maximum(pd_dense, 1e-300))
-    far = np.nanmax(np.where(pd_dense > 0, d, np.nan)) * 2.0
-    d = np.where(pd_dense > 0, d, far).astype(np.float64)
-    np.fill_diagonal(d, 0.0)
     t2 = time.perf_counter()
+    if n <= 10_000:
+        pd_dense = p.to_dense().astype(np.float64)
+        np.fill_diagonal(pd_dense, 0.0)
+        pd_dense = (pd_dense + pd_dense.T) * 0.5
+        with np.errstate(divide="ignore"):
+            d = -np.log(np.maximum(pd_dense, 1e-300))
+        far = np.nanmax(np.where(pd_dense > 0, d, np.nan)) * 2.0
+        d = np.where(pd_dense > 0, d, far).astype(np.float64)
+        np.fill_diagonal(d, 0.0)
+    else:
+        import scipy.sparse as sp
+        from sklearn.neighbors import sort_graph_by_row_values
+        pidx = np.asarray(p.indices)
+        pval = np.asarray(p.values, np.float64)
+        rr = np.broadcast_to(np.arange(n)[:, None], pidx.shape)
+        m = (pidx >= 0) & (pval > 0) & (pidx != rr)
+        with np.errstate(divide="ignore"):
+            dv = -np.log(np.maximum(pval[m], 1e-300))
+        dv = dv - dv.min() + 1e-6          # sparse BH needs positive dists
+        d = sp.csr_matrix((dv, (rr[m], pidx[m])), shape=(n, n))
+        d = d.minimum(d.T.tocsr())         # symmetric support, min dist
+        d = sort_graph_by_row_values(d, warn_when_not_sorted=False)
     sk = SkTSNE(n_components=2, metric="precomputed", init="random",
                 random_state=0, max_iter=tsne_iters,
+                method="barnes_hut",
                 perplexity=min(30.0, (n - 1) / 3.0))
     emb_sk = sk.fit_transform(d)
     sk_s = time.perf_counter() - t2
@@ -123,7 +171,7 @@ def main():
           f"(its own kl {sk.kl_divergence_:.4f})", flush=True)
 
     out = {
-        "scene": "pines_synth 145x145x200",
+        "scene": f"{scene}_synth {rows}x{cols}x{channels}",
         "levels": levels,
         "level": level,
         "n_components": n,
@@ -140,7 +188,7 @@ def main():
                 "single-core CPU and fluctuate 2-3x on this VM.",
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "..", "docs", "anchors_pines.json")
+                        "..", "docs", f"anchors_{scene}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
