@@ -226,6 +226,25 @@ def main():
         tsne_s = min(tsne_s, time.perf_counter() - t3)
     total_s = hierarchy_s + tsne_s
 
+    # KL quality gate, pinned to the refreshed independent anchor
+    # (docs/anchors_pines.json, scripts/anchor_kl.py run with the current
+    # round's code): the tracked KL must not exceed the sklearn-BH anchor
+    # KL — i.e. our optimizer stays at least as good as the independent
+    # Barnes-Hut run under the same similarity structure.  Tracked KL and
+    # anchor kl_under_p use slightly different Z staging, so the gate
+    # compares against the BH anchor (1.6886), not our own anchor value.
+    kl_anchor_bh = None
+    kl_ok = None
+    try:
+        apath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "docs", "anchors_pines.json")
+        with open(apath) as f:
+            kl_anchor_bh = json.load(f)["kl_under_p_sklearn_bh"]
+        if ce.last_kl is not None:
+            kl_ok = bool(ce.last_kl <= kl_anchor_bh * 1.01)
+    except (OSError, KeyError, ValueError):
+        pass
+
     iters_per_s = tsne_iters / tsne_s
     result = {
         "metric": "pines_e2e_hierarchy_plus_level1_tsne2000",
@@ -241,6 +260,8 @@ def main():
             "level_components": int(h.num_components[level]),
             "num_levels": h.num_levels,
             "kl": None if ce.last_kl is None else round(ce.last_kl, 5),
+            "kl_anchor_sklearn_bh": kl_anchor_bh,
+            "kl_within_anchor": kl_ok,
             "compile_hierarchy_s": round(compile_hierarchy_s, 3),
             "compile_tsne_s": round(compile_tsne_s, 3),
             "cold_total_s": round(compile_hierarchy_s + compile_tsne_s, 3),

@@ -47,32 +47,50 @@ def main():
     stack = ImageStack.from_array(img, name="salinas_synth")
     data = scale(stack.data, Scaler.NONE)
 
+    def build():
+        ch = ComputeHierarchy().init(
+            data, rows, cols,
+            ihs=ImageHierarchySettings(
+                component_sim=ComponentSim.NEIGH_WALKS,
+                merge_multiple=False, use_percentile=False, max_dist=0.0,
+                min_num_comp=1, min_reduction=98.0, max_levels=10,
+                rw_handling=RandomWalkHandling.MERGE_RW_ONLY,
+                rw_reduction=(
+                    RandomWalkReduction.PROPORTIONAL_COMPONENT_REDUCTION),
+                norm_knn_distances=NormalizationScheme.TSNE),
+            lss=LevelSimilaritiesSettings(
+                component_sim=ComponentSim.NEIGH_WALKS, ks=[k],
+                random_walk_pair_sims=True,
+                normalize_prob_dist=NormalizationScheme.TSNE,
+                compute_symmetric_prob_dist=NormalizationScheme.TSNE),
+            rws=RandomWalkSettings(
+                num_random_walks=50, single_walk_length=10,
+                importance_weighting=ImportanceWeighting.NORMAL,
+                random_seed=1),
+            nns=NearestNeighborsSettings(
+                num_nearest_neighbors=k, symmetric_neighbors=True,
+                compute_connect_components=True,
+                neighbor_connect_components=True))
+        ch.compute()
+        return ch
+
+    from sph_tpu.utils.timer import phase_report, phases_enabled
     t0 = time.perf_counter()
-    ch = ComputeHierarchy().init(
-        data, rows, cols,
-        ihs=ImageHierarchySettings(
-            component_sim=ComponentSim.NEIGH_WALKS,
-            merge_multiple=False, use_percentile=False, max_dist=0.0,
-            min_num_comp=1, min_reduction=98.0, max_levels=10,
-            rw_handling=RandomWalkHandling.MERGE_RW_ONLY,
-            rw_reduction=(
-                RandomWalkReduction.PROPORTIONAL_COMPONENT_REDUCTION),
-            norm_knn_distances=NormalizationScheme.TSNE),
-        lss=LevelSimilaritiesSettings(
-            component_sim=ComponentSim.NEIGH_WALKS, ks=[k],
-            random_walk_pair_sims=True,
-            normalize_prob_dist=NormalizationScheme.TSNE,
-            compute_symmetric_prob_dist=NormalizationScheme.TSNE),
-        rws=RandomWalkSettings(
-            num_random_walks=50, single_walk_length=10,
-            importance_weighting=ImportanceWeighting.NORMAL,
-            random_seed=1),
-        nns=NearestNeighborsSettings(
-            num_nearest_neighbors=k, symmetric_neighbors=True,
-            compute_connect_components=True,
-            neighbor_connect_components=True))
-    ch.compute()
-    hierarchy_s = time.perf_counter() - t0
+    ch = build()
+    hierarchy_cold_s = time.perf_counter() - t0
+    if phases_enabled():
+        print("--- COLD hierarchy phases (incl. compiles) ---", flush=True)
+        print(phase_report(min_s=0.5), flush=True)
+
+    hierarchy_s = hierarchy_cold_s
+    if os.environ.get("SALINAS_WARM_PASS", "1") == "1":
+        t0 = time.perf_counter()
+        ch = build()
+        hierarchy_s = time.perf_counter() - t0
+        if phases_enabled():
+            print("--- WARM hierarchy phases (kernels compiled) ---",
+                  flush=True)
+            print(phase_report(min_s=0.5), flush=True)
 
     h = ch.image_hierarchy.hierarchy
     levels = [int(c) for c in h.num_components]
@@ -80,14 +98,9 @@ def main():
         "metric": "salinas_e2e_hierarchy", "value": round(hierarchy_s, 2),
         "unit": "seconds",
         "detail": {"levels": levels, "device": str(jax.devices()[0]),
-                   "note": "cold incl. compile (shapes differ from Pines)"}
+                   "cold_s": round(hierarchy_cold_s, 2),
+                   "note": "value is the warm pass; cold_s incl. compiles"}
     }), flush=True)
-
-    from sph_tpu.utils.timer import phase_report, phases_enabled
-    if phases_enabled():
-        print("--- hierarchy phase attribution (SPH_PHASE_TIMERS) ---",
-              flush=True)
-        print(phase_report(min_s=0.5), flush=True)
 
     emb_settings = ComputeEmbeddingSettings()
     emb_settings.tsne.num_iterations = tsne_iters

@@ -911,19 +911,21 @@ def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
     # ~3*perp <= 300), so top-256-by-value keeps essentially all mass.
     # Applied ONLY above the element budget: small inputs stay
     # bit-identical to the uncapped path.
+    from ..utils.timer import phase
     budget = int(os.environ.get("SPH_SYM_FLAT_BUDGET", str(48 * 2**20)))
     wcap = int(os.environ.get("SPH_SYM_P_WIDTH_CAP", "256"))
     if 0 < wcap < sr.width and sr.num_rows * sr.width > budget:
         orig_w = sr.width
-        capped = topk_rows(sr, wcap)
-        ci, cv = capped.device()
-        # renormalize only t-SNE conditionals (rows sum to 1 by
-        # construction); UMAP fuzzy memberships are NOT row-normalized —
-        # dividing them by their row sum would shrink every membership,
-        # not just shed the tail
-        if mode == "tsne":
-            cv = _normalize_rows_dev(ci, cv)
-        sr = SparseRows(ci, cv, sr.num_cols)
+        with phase("sym.cap"):
+            capped = topk_rows(sr, wcap)
+            ci, cv = capped.device()
+            # renormalize only t-SNE conditionals (rows sum to 1 by
+            # construction); UMAP fuzzy memberships are NOT row-normalized
+            # — dividing them by their row sum would shrink every
+            # membership, not just shed the tail
+            if mode == "tsne":
+                cv = _normalize_rows_dev(ci, cv)
+            sr = SparseRows(ci, cv, sr.num_cols)
         Log.info("symmetrize: capped row width %d -> %d (row budget)",
                  orig_w, sr.width)
 
@@ -948,9 +950,10 @@ def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
     wrev_max = min(wrev_env, next_pow2(n))
     wrev = max(min(next_pow2(max(2 * sr.width, 64)), wrev_max), 1)
     while True:
-        oi, ov, counts, rev_lost = _symmetrize_p_dev(idx_d, val_d, wrev,
-                                                     mode)
-        probe = np.asarray(jnp.stack([jnp.max(counts), rev_lost]))
+        with phase(f"sym.kernel.w{wrev}"):
+            oi, ov, counts, rev_lost = _symmetrize_p_dev(idx_d, val_d,
+                                                         wrev, mode)
+            probe = np.asarray(jnp.stack([jnp.max(counts), rev_lost]))
         if int(probe[1]) == 0 or wrev >= min(n, wrev_max):
             if int(probe[1]) > 0:
                 Log.info("symmetrize: wrev cap %d sheds %d faint reverse "
