@@ -273,3 +273,52 @@ def test_tsne_grid_tier_configuration(monkeypatch):
     t3.set_probability_distribution(p)
     t3._init_gradient_descent()
     assert t3._attr_packed and not t3._use_grid
+
+
+def test_umap_tiers_agree_on_attraction_only():
+    """With negative_sample_rate=0 the three optimizer tiers share exact
+    semantics (scheduled, clipped, batched attraction over a symmetric
+    membership): dense == rows == edges up to f32 summation order.
+
+    The epoch count is kept small on purpose: the SGD map is chaotic, so
+    per-epoch summation-order roundoff (~1e-7) amplifies exponentially
+    (measured: 8e-6 at 8 epochs -> 0.87 at 30 epochs).  Eight epochs sits
+    inside the window where any *semantic* difference between the tiers
+    would still dwarf accumulated roundoff."""
+    import os
+    import numpy as np
+    from sph_tpu.models.umap import UmapComputation, UmapParameters
+    from sph_tpu.ops.sparse import SparseRows, symmetrize_umap
+
+    rng = np.random.default_rng(3)
+    n, k = 120, 8
+    idx = np.stack([rng.choice(n, k, replace=False) for _ in range(n)])
+    val = rng.random((n, k)).astype(np.float32) * 0.9 + 0.1
+    m = symmetrize_umap(SparseRows(idx.astype(np.int32), val, n))
+
+    init = (rng.standard_normal((n, 2)) * 5.0).astype(np.float32)
+
+    def run(env):
+        for kk, vv in env.items():
+            os.environ[kk] = vv
+        try:
+            u = UmapComputation(UmapParameters(
+                num_epochs=8, seed=11, negative_sample_rate=0))
+            u.set_neighbor_matrix(m)
+            # fixed init: the spectral solver's iterative start is not
+            # seeded, so compute()'s default init differs run to run
+            u.set_initial_embedding(init)
+            u.compute()
+            return u.embedding.copy()
+        finally:
+            for kk in env:
+                os.environ.pop(kk, None)
+
+    dense = run({})
+    rows = run({"SPH_UMAP_DENSE_MAX": "0", "SPH_UMAP_PACKED": "0"})
+    edges = run({"SPH_UMAP_EDGE_PATH": "1"})
+    assert np.allclose(dense, rows, rtol=1e-4, atol=1e-5)
+    # the edge tier's .at[].add scatters accumulate in a different order
+    # than the row reductions, so its roundoff floor is higher (measured
+    # 4.3e-5 at 8 epochs, exact at 1 epoch)
+    assert np.allclose(dense, edges, rtol=1e-3, atol=5e-4)
