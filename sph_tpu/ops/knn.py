@@ -504,6 +504,7 @@ def _pq_encode_block(resid: jax.Array, codebooks: jax.Array) -> jax.Array:
     # [m, B, ds] x [m, ds, ksub] -> [m, B, ksub] batched MXU matmul
     r = jnp.swapaxes(resid, 0, 1)
     ip = jnp.einsum("mbd,mkd->mbk", r, codebooks,
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
     csq = jnp.sum(codebooks * codebooks, axis=2)          # [m, ksub]
     d2 = csq[:, None, :] - 2.0 * ip                       # + |r|^2 const/row
@@ -589,6 +590,42 @@ def _ivf_grouped_device_pq(data: jax.Array, codes: jax.Array,
         if not l2_squared:
             dists = jnp.sqrt(dists)
     return ids, dists
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "l2_squared"))
+def _rerank_exact_block(q: jax.Array, qids: jax.Array, data: jax.Array,
+                        ids: jax.Array, k: int, metric: str,
+                        l2_squared: bool):
+    """Exact re-rank of an ADC shortlist (the refine stage of the PQ tier).
+
+    q: [B, D] full-precision query rows; qids: [B] their point ids;
+    ids: [B, L] candidate ids (-1 pad).  The PQ codes are the
+    accelerator-resident index (16 B/vec); only the L shortlisted rows per
+    query are read at full precision — the DiskANN / faiss-IndexRefineFlat
+    serving pattern.  Returns exact top-k.
+    """
+    c = data[jnp.maximum(ids, 0)]                          # [B, L, D]
+    ip = jnp.einsum("bd,bld->bl", q, c,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    if metric == "inner_product":
+        dist = -ip
+    else:
+        qsq = jnp.sum(q * q, axis=1)
+        csq = jnp.sum(c * c, axis=2)
+        dist = jnp.maximum(qsq[:, None] + csq - 2.0 * ip, 0.0)
+        # |q|^2+|c|^2-2qc cancels catastrophically at q==c (error ~
+        # eps*|q|^2, far above _F32_EPS); the self pair is exactly 0
+        dist = jnp.where(ids == qids[:, None], 0.0, dist)
+    dist = jnp.where(ids >= 0, dist, jnp.inf)
+    sd, si = jax.lax.sort((dist, ids), num_keys=1, dimension=1,
+                          is_stable=True)
+    sd, si = sd[:, :k], si[:, :k]
+    if metric != "inner_product":
+        sd = jnp.where(sd <= _F32_EPS, 0.0, sd)
+        if not l2_squared:
+            sd = jnp.sqrt(sd)
+    return si, sd
 
 
 def sq8_reconstruct(data: np.ndarray) -> np.ndarray:
@@ -770,11 +807,16 @@ def knn_ivf(data: np.ndarray, k: int,
         cb_d = jnp.asarray(pq_state[1])
         cents_dev = jnp.asarray(cents.astype(np.float32))
         segcl_d = jnp.asarray(seg_cluster.astype(np.int32))
+        # ADC alone misranks within-cluster near-ties (16-byte codes can't
+        # separate true top-k neighbors whose gaps are below quantization
+        # noise) — search a wider shortlist, then exact re-rank below
+        ksearch = min(max(int(os.environ.get("SPH_PQ_RERANK", "128")),
+                          2 * k), seg * max_psegs)
 
         def _score(qt_w, ps_w):
             return _ivf_grouped_device_pq(
                 data_d, codes_d, cb_d, cents_dev, segcl_d, segtab_d,
-                qt_w, ps_w, k, metric.value, l2_squared)
+                qt_w, ps_w, ksearch, metric.value, l2_squared)
     else:
         def _score(qt_w, ps_w):
             return _ivf_grouped_device(data_d, segtab_d, qt_w, ps_w, k,
@@ -805,15 +847,39 @@ def knn_ivf(data: np.ndarray, k: int,
     else:
         ids_b, dists_b = _score(segtab_d, psegs_d)
 
+    kout = ksearch if pq else k
     flat_q = segtab_d.reshape(-1)
     # pad lanes scatter out of bounds and drop — routing them to row 0
     # with their old value would race real writes to row 0 (duplicate
     # scatter indices have no ordering guarantee)
     tgt = jnp.where(flat_q >= 0, flat_q, jnp.int32(n))
-    n_out_i = jnp.full((n, k), -1, jnp.int32).at[tgt].set(
-        ids_b.reshape(-1, k), mode="drop")
-    n_out_d = jnp.full((n, k), np.inf, jnp.float32).at[tgt].set(
-        dists_b.reshape(-1, k), mode="drop")
+    n_out_i = jnp.full((n, kout), -1, jnp.int32).at[tgt].set(
+        ids_b.reshape(-1, kout), mode="drop")
+    n_out_d = jnp.full((n, kout), np.inf, jnp.float32).at[tgt].set(
+        dists_b.reshape(-1, kout), mode="drop")
+
+    if pq:
+        # refine stage: exact top-k over each row's ADC shortlist (blocked
+        # so one compiled shape covers any n); final distances are exact
+        # full-precision, matching the flat tier's scale
+        rb = 8192
+        npad_r = _ceil_to(n, rb)
+        qfull, ids_full = data_d, n_out_i
+        if npad_r != n:
+            qfull = jnp.pad(data_d, ((0, npad_r - n), (0, 0)))
+            ids_full = jnp.pad(n_out_i, ((0, npad_r - n), (0, 0)),
+                               constant_values=-1)
+        ri, rd = [], []
+        qid_all = jnp.arange(npad_r, dtype=jnp.int32)
+        for b0 in range(0, npad_r, rb):
+            si, sd = _rerank_exact_block(
+                qfull[b0:b0 + rb], qid_all[b0:b0 + rb], data_d,
+                ids_full[b0:b0 + rb], k, metric.value, l2_squared)
+            jax.block_until_ready(sd)
+            ri.append(si)
+            rd.append(sd)
+        n_out_i = jnp.concatenate(ri, axis=0)[:n]
+        n_out_d = jnp.concatenate(rd, axis=0)[:n]
 
     from .graph import ensure_self_first_device
     idx_d2, dist_d2, _ = ensure_self_first_device(n_out_i, n_out_d)
@@ -872,13 +938,9 @@ def compute_knn(data: np.ndarray, k: int,
         pq = index == KnnIndex.HNSW_IVFPQ
         idx, dist = knn_ivf(data, k, metric, l2_squared, seed=seed,
                             quantize=quantize, pq=pq)
-        if pq and np.any(idx < 0):
-            # PQ reconstructions live inside knn_ivf; a targeted refill on
-            # raw data would mix distance scales (ADVICE r3), so the rare
-            # incomplete-row case recomputes exactly (uniform scale)
-            Log.warn("compute_knn: PQ tier left incomplete rows, exact "
-                     "recompute (reference: NearestNeighbors.cpp:143-148)")
-            return knn_bruteforce(data, k, metric, l2_squared)
+        # the PQ tier's refine stage re-ranks shortlists at full precision,
+        # so its final distances share the flat tier's scale — incomplete
+        # rows take the standard targeted exact refill below (no scale mix)
         # reference refills missing neighbors with an exact pass
         # (Knn.cpp:214-243); here: incomplete rows get a targeted exact
         # refill (query-block kernel) — only a widespread failure falls

@@ -139,15 +139,21 @@ def test_pq_tier_recall_vs_exact():
     data = _clustered_points()
     k = 10
     idx_pq, dist_pq = compute_knn(data, k, KnnIndex.HNSW_IVFPQ)
-    idx_e, _ = knn_bruteforce(data, k)
+    idx_e, dist_e = knn_bruteforce(data, k)
     assert idx_pq.shape == idx_e.shape
     assert np.all(idx_pq[:, 0] == np.arange(data.shape[0]))
-    # recall@k excluding self
+    # recall@k excluding self: the refine stage (exact re-rank of the ADC
+    # shortlist) lifts this far above the ADC-only ~0.85 regime
     hits = 0
     for i in range(data.shape[0]):
         hits += len(np.intersect1d(idx_pq[i, 1:], idx_e[i, 1:]))
     recall = hits / (data.shape[0] * (k - 1))
-    assert recall >= 0.85, recall
+    assert recall >= 0.97, recall
+    # refined distances are exact full-precision (same scale as the flat
+    # tier): agree with brute force wherever the ids agree
+    same = idx_pq == idx_e
+    np.testing.assert_allclose(dist_pq[same], dist_e[same],
+                               rtol=1e-4, atol=1e-4)
     # distances ascending per row
     d = np.where(idx_pq >= 0, dist_pq, np.inf)
     assert np.all(np.diff(d, axis=1) >= -1e-5)
