@@ -604,6 +604,11 @@ def _rerank_exact_block(q: jax.Array, qids: jax.Array, data: jax.Array,
     query are read at full precision — the DiskANN / faiss-IndexRefineFlat
     serving pattern.  Returns exact top-k.
     """
+    if ids.shape[1] < k:
+        # a small probe pool can clamp the shortlist below k; keep the
+        # [B, k] output contract by padding with -1/inf lanes
+        ids = jnp.pad(ids, ((0, 0), (0, k - ids.shape[1])),
+                      constant_values=-1)
     c = data[jnp.maximum(ids, 0)]                          # [B, L, D]
     ip = jnp.einsum("bd,bld->bl", q, c,
                     precision=jax.lax.Precision.HIGHEST,
@@ -822,6 +827,37 @@ def knn_ivf(data: np.ndarray, k: int,
             return _ivf_grouped_device(data_d, segtab_d, qt_w, ps_w, k,
                                        metric.value, l2_squared)
 
+    def _rerank_window(qt_w: jax.Array, ib: jax.Array):
+        """Exact re-rank of ONE window's ADC shortlists, [W, seg, ksearch]
+        -> [W, seg, k], immediately after that window is scored.  Fusing
+        the refine into the dispatch loop keeps the peak extra memory at
+        O(window), not O(n * ksearch) — at the tier's own 50M-point scale
+        a whole-index shortlist would be tens of GB (advisor r4 medium).
+        Final distances are exact full-precision, matching the flat tier.
+        """
+        w = qt_w.shape[0]
+        flat_qw = qt_w.reshape(-1)
+        rows = flat_qw.shape[0]
+        rb = min(8192, rows)
+        rpad = _ceil_to(rows, rb)
+        idsw = ib.reshape(rows, -1)
+        if rpad != rows:
+            flat_qw = jnp.pad(flat_qw, (0, rpad - rows),
+                              constant_values=-1)
+            idsw = jnp.pad(idsw, ((0, rpad - rows), (0, 0)),
+                           constant_values=-1)
+        qw = data_d[jnp.maximum(flat_qw, 0)]
+        ri, rd = [], []
+        for b0 in range(0, rpad, rb):
+            si, sd = _rerank_exact_block(
+                qw[b0:b0 + rb], flat_qw[b0:b0 + rb], data_d,
+                idsw[b0:b0 + rb], k, metric.value, l2_squared)
+            jax.block_until_ready(sd)
+            ri.append(si)
+            rd.append(sd)
+        return (jnp.concatenate(ri, axis=0)[:rows].reshape(w, seg, k),
+                jnp.concatenate(rd, axis=0)[:rows].reshape(w, seg, k))
+
     # dispatch in windows of query segments: one monolithic map over all
     # segments runs for minutes at scale and the tunneled runtime kills
     # long programs (same guard as knn_bruteforce's row windows)
@@ -841,45 +877,25 @@ def knn_ivf(data: np.ndarray, k: int,
         for s0 in range(0, spad, swin):
             ib, db = _score(qt[s0:s0 + swin], ps[s0:s0 + swin])
             jax.block_until_ready(db)
+            if pq:
+                ib, db = _rerank_window(qt[s0:s0 + swin], ib)
             parts.append((ib, db))
         ids_b = jnp.concatenate([p[0] for p in parts], axis=0)[:s_total]
         dists_b = jnp.concatenate([p[1] for p in parts], axis=0)[:s_total]
     else:
         ids_b, dists_b = _score(segtab_d, psegs_d)
+        if pq:
+            ids_b, dists_b = _rerank_window(segtab_d, ids_b)
 
-    kout = ksearch if pq else k
     flat_q = segtab_d.reshape(-1)
     # pad lanes scatter out of bounds and drop — routing them to row 0
     # with their old value would race real writes to row 0 (duplicate
     # scatter indices have no ordering guarantee)
     tgt = jnp.where(flat_q >= 0, flat_q, jnp.int32(n))
-    n_out_i = jnp.full((n, kout), -1, jnp.int32).at[tgt].set(
-        ids_b.reshape(-1, kout), mode="drop")
-    n_out_d = jnp.full((n, kout), np.inf, jnp.float32).at[tgt].set(
-        dists_b.reshape(-1, kout), mode="drop")
-
-    if pq:
-        # refine stage: exact top-k over each row's ADC shortlist (blocked
-        # so one compiled shape covers any n); final distances are exact
-        # full-precision, matching the flat tier's scale
-        rb = 8192
-        npad_r = _ceil_to(n, rb)
-        qfull, ids_full = data_d, n_out_i
-        if npad_r != n:
-            qfull = jnp.pad(data_d, ((0, npad_r - n), (0, 0)))
-            ids_full = jnp.pad(n_out_i, ((0, npad_r - n), (0, 0)),
-                               constant_values=-1)
-        ri, rd = [], []
-        qid_all = jnp.arange(npad_r, dtype=jnp.int32)
-        for b0 in range(0, npad_r, rb):
-            si, sd = _rerank_exact_block(
-                qfull[b0:b0 + rb], qid_all[b0:b0 + rb], data_d,
-                ids_full[b0:b0 + rb], k, metric.value, l2_squared)
-            jax.block_until_ready(sd)
-            ri.append(si)
-            rd.append(sd)
-        n_out_i = jnp.concatenate(ri, axis=0)[:n]
-        n_out_d = jnp.concatenate(rd, axis=0)[:n]
+    n_out_i = jnp.full((n, k), -1, jnp.int32).at[tgt].set(
+        ids_b.reshape(-1, k), mode="drop")
+    n_out_d = jnp.full((n, k), np.inf, jnp.float32).at[tgt].set(
+        dists_b.reshape(-1, k), mode="drop")
 
     from .graph import ensure_self_first_device
     idx_d2, dist_d2, _ = ensure_self_first_device(n_out_i, n_out_d)

@@ -157,3 +157,30 @@ def test_pq_tier_recall_vs_exact():
     # distances ascending per row
     d = np.where(idx_pq >= 0, dist_pq, np.inf)
     assert np.all(np.diff(d, axis=1) >= -1e-5)
+
+
+def test_rerank_block_pads_short_shortlist_to_k():
+    """A shortlist narrower than k (small probe pool clamping ksearch) must
+    still return [B, k] with -1/inf padding, not silently fewer columns
+    (advisor r4: knn_ivf output shape contract)."""
+    import jax.numpy as jnp
+    from sph_tpu.ops.knn import _rerank_exact_block
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((32, 8)).astype(np.float32)
+    q = jnp.asarray(data[:4])
+    qids = jnp.arange(4, dtype=jnp.int32)
+    # shortlist of width 3 < k=6
+    ids = jnp.asarray([[0, 1, 2], [1, 2, 3], [2, 3, 4], [3, 4, 5]],
+                      dtype=jnp.int32)
+    si, sd = _rerank_exact_block(q, qids, jnp.asarray(data), ids, 6,
+                                 "l2", False)
+    assert si.shape == (4, 6)
+    assert sd.shape == (4, 6)
+    si = np.asarray(si)
+    sd = np.asarray(sd)
+    # the 3 real candidates come first (finite, exact), pads trail
+    assert np.all(si[:, 3:] == -1)
+    assert np.all(np.isinf(sd[:, 3:]))
+    assert np.all(np.isfinite(sd[:, :3]))
+    # row 0's own id (0) is in its shortlist: exact self distance is 0
+    assert sd[0, 0] == 0.0
