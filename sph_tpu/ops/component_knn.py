@@ -81,16 +81,17 @@ def knn_neighbor_overlap(unions: SparseRows, k: int, block: int = 256
                          ) -> Tuple[np.ndarray, np.ndarray]:
     c = unions.num_rows
     n = unions.num_cols
-    block = min(block, _ceil_to(c, 8))
-    cpad = _ceil_to(c, block)
+    from .bucketing import bucket_k, bucket_rows
+    cpad = _ceil_to(bucket_rows(max(8, c)), 8)
+    block = min(block, cpad)
+    cpad = _ceil_to(cpad, block)
     members = np.zeros((cpad, n), dtype=np.int8)
     mask = unions.mask
     rows = np.broadcast_to(np.arange(c)[:, None], unions.indices.shape)[mask]
     members[rows, unions.indices[mask]] = 1
     counts = np.zeros(cpad, dtype=np.float32)
     counts[:c] = unions.row_nnz()
-    from .bucketing import bucket_k
-    kk = min(bucket_k(min(k, c)), cpad)
+    kk = min(bucket_k(k), cpad)
     ids, dists = _overlap_knn(jnp.asarray(members), jnp.asarray(counts),
                               jnp.int32(c), kk, block)
     return _finalize(np.asarray(ids)[:c, :min(k, c)],
@@ -197,12 +198,16 @@ def knn_walks(walks: SparseRows, k: int, single_overlap: bool = False,
     """dist = 1 - BC (NeighborWalksBhattacharyyaSpace) or 1 - max transition
     (NeighborWalksSingleOverlapSpace).  k and the row width are bucketed so
     levels share compiled programs."""
-    from .bucketing import bucket_k, next_pow2
+    from .bucketing import bucket_k, bucket_rows, bucket_width
     c = walks.num_rows
-    block = min(block, _ceil_to(c, 8))
-    cpad = _ceil_to(c, block)
-    wpad = next_pow2(walks.width)
-    kk = min(bucket_k(min(k, c)), cpad)
+    # canonical shapes: row bucket (512 floor) + one k bucket independent
+    # of the level's component count, so the shrinking level loop shares
+    # ONE compiled program (raw cpad/kk compiled this per level before)
+    cpad = _ceil_to(bucket_rows(max(8, c)), 8)
+    block = min(block, cpad)
+    cpad = _ceil_to(cpad, block)
+    wpad = bucket_width(walks.width)
+    kk = min(bucket_k(k), cpad)
     idx = np.full((cpad, wpad), -1, dtype=np.int32)
     val = np.zeros((cpad, wpad), dtype=np.float32)
     idx[:c, :walks.width] = walks.indices
@@ -265,12 +270,13 @@ def knn_hausdorff(data: np.ndarray, rep_samples: np.ndarray, k: int,
                   block: int = 32) -> Tuple[np.ndarray, np.ndarray]:
     """rep_samples: [C, S] padded (-1) data-point ids per component.
     S and k are bucketed so levels share compiled programs."""
-    from .bucketing import bucket_k, next_pow2
+    from .bucketing import bucket_k, bucket_rows, next_pow2
     c, s = rep_samples.shape
     spad = next_pow2(s)
-    block = min(block, _ceil_to(c, 8))
-    cpad = _ceil_to(c, block)
-    kk = min(bucket_k(min(k, c)), cpad)
+    cpad = _ceil_to(bucket_rows(max(8, c)), 8)
+    block = min(block, cpad)
+    cpad = _ceil_to(cpad, block)
+    kk = min(bucket_k(k), cpad)
     samples = np.full((cpad, spad), -1, dtype=np.int64)
     samples[:c, :s] = rep_samples
     mask = samples >= 0

@@ -368,7 +368,21 @@ def merge_by_parents_device(indices, values,
         idx_d = jnp.asarray(np.ascontiguousarray(indices, np.int32))
         val_d = jnp.asarray(np.ascontiguousarray(values, np.float32))
 
-    m_pad = _next_pow2(num_merged)
+    # bucket the child-row count: raw per-level row counts made every
+    # level transition compile a fresh merge program family (the global
+    # [N*R] sort is among the most expensive compiles).  Padded rows are
+    # all-invalid (idx -1, val 0) so they sort to the sentinel tail and
+    # contribute nothing; their parent slot is 0, touched only by a
+    # weight_by_size add of row_w == 0.
+    from .bucketing import bucket_rows
+    nb = bucket_rows(max(8, n))
+    parents_dev = np.ascontiguousarray(parents, np.int32)
+    if nb != n:
+        idx_d = jnp.pad(idx_d, ((0, nb - n), (0, 0)), constant_values=-1)
+        val_d = jnp.pad(val_d, ((0, nb - n), (0, 0)))
+        parents_dev = np.pad(parents_dev, (0, nb - n))
+
+    m_pad = max(512, _next_pow2(num_merged))
     cap = max_width if max_width is not None else 1 << 30
     # floor the cap to a power of two: the stored width is pow2 (for
     # bucketed downstream kernels), and a non-pow2 cap used to be applied
@@ -382,7 +396,7 @@ def merge_by_parents_device(indices, values,
     guess = r * max(int(np.ceil(n / max(num_merged, 1))), 1)
     width = min(_next_pow2(max(min(guess, 4 * r), 16)), _next_pow2(cap))
 
-    par_d = jnp.asarray(np.ascontiguousarray(parents, np.int32))
+    par_d = jnp.asarray(parents_dev)
 
     # lane path: per-parent child gather + per-row lane sorts, no global
     # [N*R] sort.  Applicable when the widest parent's concatenated child

@@ -287,10 +287,10 @@ def gaussian_rows_bucketed(values, mask, perplexity: float,
     indices: optional device index array; when given (device path) the
     `(idx >= 0) & (val != 0)` mask is fused into the pad program and the
     `mask` argument is ignored."""
-    from .bucketing import bucket_rows, next_pow2, pad_axis
+    from .bucketing import bucket_rows, bucket_width, pad_axis
     n, k = values.shape
     npad = bucket_rows(n)
-    wpad = next_pow2(k)
+    wpad = bucket_width(k)
     if isinstance(values, jax.Array):
         if indices is not None:
             v, m = _pad_idx_val_mask_dev(indices, values, npad, wpad)
@@ -315,10 +315,10 @@ def smooth_knn_rows_bucketed(values, mask, indices=None):
     """Bucketed wrapper around smooth_knn_distributions (device arrays in ->
     device array out, like gaussian_rows_bucketed incl. the fused-mask
     `indices` option)."""
-    from .bucketing import bucket_rows, next_pow2, pad_axis
+    from .bucketing import bucket_rows, bucket_width, pad_axis
     n, k = values.shape
     npad = bucket_rows(n)
-    wpad = next_pow2(k)
+    wpad = bucket_width(k)
     if isinstance(values, jax.Array):
         if indices is not None:
             v, m = _pad_idx_val_mask_dev(indices, values, npad, wpad)

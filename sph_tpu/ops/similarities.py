@@ -54,14 +54,15 @@ def walks_single_overlap_distance(walks: SparseRows, pairs_a: np.ndarray,
                                   pairs_b: np.ndarray) -> np.ndarray:
     """1 - max(w[a, b], w[b, a]) (reference: simRandomWalksSingleOverlay,
     Similarities.cpp:328-351)."""
-    from .bucketing import bucket_rows, next_pow2, pad_axis
+    from .bucketing import bucket_rows, bucket_width, pad_axis
     e = len(pairs_a)
     idx, val = walks.device()
-    wp = next_pow2(walks.width)
-    if wp != walks.width:
-        idx = jnp.pad(idx, ((0, 0), (0, wp - walks.width)),
+    wp = bucket_width(walks.width)
+    rp = bucket_rows(max(8, walks.num_rows))
+    if (rp, wp) != (idx.shape[0], idx.shape[1]):
+        idx = jnp.pad(idx, ((0, rp - idx.shape[0]), (0, wp - idx.shape[1])),
                       constant_values=PAD)
-        val = jnp.pad(val, ((0, 0), (0, wp - walks.width)),
+        val = jnp.pad(val, ((0, rp - val.shape[0]), (0, wp - val.shape[1])),
                       constant_values=0.0)
     pairs_a = np.asarray(pairs_a, np.int32)
     pairs_b = np.asarray(pairs_b, np.int32)
@@ -146,11 +147,14 @@ def neighbor_overlap_distance(unions: SparseRows, pairs_a: np.ndarray,
                               pairs_b: np.ndarray) -> np.ndarray:
     """1 - |inter| / min(|A|, |B|) (reference: simNeighborOverlap,
     Similarities.cpp:216-228)."""
-    from .bucketing import bucket_rows, next_pow2, pad_axis
+    from .bucketing import bucket_rows, bucket_width, pad_axis
     e = len(pairs_a)
-    wpad = next_pow2(unions.width)
-    counts = jnp.asarray(unions.row_nnz().astype(np.int32))
-    idx = jnp.asarray(pad_axis(unions.indices, 1, wpad, -1))
+    wpad = bucket_width(unions.width)
+    rpad = bucket_rows(max(8, unions.num_rows))
+    counts = jnp.asarray(pad_axis(unions.row_nnz().astype(np.int32),
+                                  0, rpad, 0))
+    idx = jnp.asarray(pad_axis(pad_axis(unions.indices, 1, wpad, -1),
+                               0, rpad, -1))
     pairs_a = np.asarray(pairs_a, np.int32)
     pairs_b = np.asarray(pairs_b, np.int32)
     if e == 0:

@@ -563,12 +563,13 @@ def bhattacharyya_pairs(sr: SparseRows, rows_a: np.ndarray,
     merge-step NEIGH_WALKS distances where only (component, spatial neighbor)
     pairs are needed.  Shapes are bucketed so every level shares compiled
     programs."""
-    from .bucketing import bucket_rows, next_pow2, pad_axis
+    from .bucketing import bucket_rows, bucket_width, pad_axis
     e = len(rows_a)
     idx_d, val_d = sr.device()
-    w = next_pow2(sr.width)
-    if w != sr.width:
-        idx_d, val_d = _pad_pair_dev(idx_d, val_d, sr.num_rows, w)
+    w = bucket_width(sr.width)
+    nb = bucket_rows(max(8, sr.num_rows))
+    if (nb, w) != (sr.num_rows, sr.width):
+        idx_d, val_d = _pad_pair_dev(idx_d, val_d, nb, w)
     r = w
     rows_a = np.asarray(rows_a, np.int32)
     rows_b = np.asarray(rows_b, np.int32)
@@ -728,17 +729,14 @@ def pairwise_similarities(sr: SparseRows, k: int,
     # 16, ... each ~20-40s on TPU); bucketing to canonical row counts
     # lets all small levels share one executable (padded rows produce
     # bc=0 -> pruned, and ids >= n_valid are masked, so results are
-    # unchanged)
-    # only small levels bucket (ceil to 256): they are the ones that
-    # multiply executables across the shrinking level loop.  Large levels
-    # keep exact block-multiple shapes — bucket_rows' power-of-two step
-    # would pad level-0 row counts by up to 2x of real kernel work.
-    from .bucketing import bucket_rows, ceil_to, next_pow2
-    nb = bucket_rows(max(8, n)) if n <= 2048 else n
+    # unchanged).  Large levels bucket to 4096-multiples: bounded waste,
+    # and nearby dataset sizes reuse one compiled shape (cold-start bill).
+    from .bucketing import bucket_rows, bucket_width, ceil_to
+    nb = bucket_rows(max(8, n))
     block_eff = min(block, nb)
     npad = ceil_to(nb, block_eff)
 
-    wpad = next_pow2(sr.width)
+    wpad = bucket_width(sr.width)
     idx_d, val_d = sr.device()
     if (npad, wpad) != (n, sr.width):
         idx_d, val_d = _pad_pair_dev(idx_d, val_d, npad, wpad)
@@ -796,8 +794,8 @@ def shrink_width(sr: SparseRows, need: int) -> SparseRows:
     """Slice compact rows down to the power-of-two cover of `need` (the
     max surviving row nnz, supplied by the caller so no device sync is
     forced here)."""
-    from .bucketing import next_pow2
-    w = min(next_pow2(max(need, 1)), sr.width)
+    from .bucketing import bucket_width
+    w = min(bucket_width(need), sr.width)
     if w >= sr.width:
         return sr
     if sr.device_only:
@@ -931,14 +929,17 @@ def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
 
     idx_d, val_d = sr.device()
     n = sr.num_rows
-    # row-bucket the kernel shape so shrinking levels share executables
+    # bucket the kernel shape so shrinking levels share executables
     # (padded rows have no valid forward entries and receive no reverse
     # entries — column ids are < num_cols <= n — so the combine leaves
-    # them all-PAD and the final slice drops them)
-    from .bucketing import bucket_rows
-    nb = bucket_rows(max(8, n)) if n <= 2048 else n
-    if nb != n:
-        idx_d, val_d = _pad_pair_dev(idx_d, val_d, nb, sr.width)
+    # them all-PAD and the final slice drops them).  Width buckets too:
+    # raw max-nnz widths made every level a fresh compile of this, the
+    # most expensive stage-3 program (7 variants at Pines before).
+    from .bucketing import bucket_rows, bucket_width
+    nb = bucket_rows(max(8, n))
+    wb = bucket_width(sr.width)
+    if (nb, wb) != (sr.num_rows, sr.width):
+        idx_d, val_d = _pad_pair_dev(idx_d, val_d, nb, wb)
     # bound the reverse width: hub columns can have in-degree near n, and
     # the [n, wrev] reverse/concat buffers at that extent exhaust HBM.
     # Beyond the cap the kernel keeps the top-wrev reverse entries by
@@ -947,8 +948,8 @@ def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
     wrev_env = int(os.environ.get("SPH_SYM_WREV_MAX", "1024"))
     if wrev_env <= 0:  # 0 disables the bound, like the sibling cap knobs
         wrev_env = 1 << 30
-    wrev_max = min(wrev_env, next_pow2(n))
-    wrev = max(min(next_pow2(max(2 * sr.width, 64)), wrev_max), 1)
+    wrev_max = min(wrev_env, next_pow2(nb))
+    wrev = max(min(next_pow2(max(2 * wb, 64)), wrev_max), 1)
     while True:
         with phase(f"sym.kernel.w{wrev}"):
             oi, ov, counts, rev_lost = _symmetrize_p_dev(idx_d, val_d,
@@ -959,9 +960,9 @@ def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
                 Log.info("symmetrize: wrev cap %d sheds %d faint reverse "
                          "entries of hub rows", wrev, int(probe[1]))
             break
-        wrev = min(next_pow2(wrev * 2), next_pow2(n), wrev_max)
+        wrev = min(next_pow2(wrev * 2), next_pow2(nb), wrev_max)
     need = int(probe[0]) if n else 1
-    w = min(next_pow2(max(need, 1)), oi.shape[1])
+    w = min(bucket_width(need), oi.shape[1])
     return SparseRows(*_slice_pair_dev(oi, ov, n, w), sr.num_cols)
 
 

@@ -294,8 +294,8 @@ def do_random_walks(similarities: SparseRows,
     from .sparse import _nnz_rows_dev, _slice_pair_dev
     nnz_rows = np.asarray(_nnz_rows_dev(idx, val))
     need = int(nnz_rows.max()) if nnz_rows.size else 1
-    from .bucketing import next_pow2
-    wkeep = min(next_pow2(max(need, 1)), idx.shape[1])
+    from .bucketing import bucket_width
+    wkeep = min(bucket_width(need), idx.shape[1])
     if wkeep < idx.shape[1]:
         idx, val = _slice_pair_dev(idx, val, idx.shape[0], wkeep)
     rows = SparseRows(idx, val, c)
