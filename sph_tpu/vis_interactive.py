@@ -97,15 +97,16 @@ def _level_payload(ch, level: int, emb: Optional[np.ndarray]) -> dict:
     return out
 
 
-def export_explorer(ch, embeddings: Optional[Dict[int, np.ndarray]] = None,
-                    path: str = "explorer.html",
-                    title: str = "sph_tpu hierarchy explorer") -> str:
-    """Serialize a computed ComputeHierarchy (+ optional per-level
-    embeddings) into a standalone interactive HTML file."""
+def build_explorer_data(ch, embeddings: Optional[Dict[int, np.ndarray]] = None,
+                        title: str = "sph_tpu hierarchy explorer",
+                        live: bool = False) -> dict:
+    """The explorer's full JSON payload (shared by the static export and
+    the live server; `live` reveals the recompute controls in the UI)."""
     h = ch.image_hierarchy.hierarchy
     embeddings = embeddings or {}
-    data = {
+    return {
         "title": title,
+        "live": bool(live),
         "rows": int(h.settings.num_rows),
         "cols": int(h.settings.num_cols),
         "num_levels": int(h.num_levels),
@@ -115,8 +116,19 @@ def export_explorer(ch, embeddings: Optional[Dict[int, np.ndarray]] = None,
             for lv in range(h.num_levels)
         },
     }
-    html = _HTML_TEMPLATE.replace("/*__DATA__*/null",
+
+
+def render_explorer_html(data: dict) -> str:
+    return _HTML_TEMPLATE.replace("/*__DATA__*/null",
                                   json.dumps(data, separators=(",", ":")))
+
+
+def export_explorer(ch, embeddings: Optional[Dict[int, np.ndarray]] = None,
+                    path: str = "explorer.html",
+                    title: str = "sph_tpu hierarchy explorer") -> str:
+    """Serialize a computed ComputeHierarchy (+ optional per-level
+    embeddings) into a standalone interactive HTML file."""
+    html = render_explorer_html(build_explorer_data(ch, embeddings, title))
     with open(path, "w") as f:
         f.write(html)
     return os.path.abspath(path)
@@ -164,6 +176,18 @@ _HTML_TEMPLATE = r"""<!DOCTYPE html>
   <option value="walk">Walk similarity (click a point)</option>
  </select>
  <button id="clearSel">Clear selection</button>
+ <div id="live" style="display:none">
+  <h3>Live recompute</h3>
+  <label>kNN k <span id="lkLabel">16</span></label>
+  <input type="range" id="lk" min="2" max="64" step="1" value="16">
+  <label>walks <span id="lwLabel">50</span> &times; steps
+   <span id="llLabel">10</span></label>
+  <input type="range" id="lw" min="5" max="200" step="5" value="50">
+  <input type="range" id="ll" min="2" max="40" step="1" value="10">
+  <button id="reKnn">Recompute kNN edges</button>
+  <button id="reWalks">Recompute walks</button>
+  <div id="liveInfo" class="hint"></div>
+ </div>
  <div id="info">click: select / walk overlay
 shift-click 2nd node: shortest path</div>
  <div class="hint">Drag to pan, wheel to zoom (each view independently).
@@ -335,6 +359,30 @@ for(const id of["level","psize","popacity","eopacity","eweight","overlay"])
  $(id).addEventListener("input",()=>{LV=parseInt(lvlIn.value);
   sel=Math.min(sel,level().n-1);sel2=-1;path=[];draw();});
 window.addEventListener("resize",draw);
+
+// live mode: recompute kNN edges / random walks server-side as the
+// sliders move (reference parity: vis/Renderer.cpp recomputes on slider
+// change; here the pipeline's own TPU ops run on demand)
+if(DATA.live){
+ $("live").style.display="block";
+ const linfo=$("liveInfo");
+ for(const[idIn,idLab]of[["lk","lkLabel"],["lw","lwLabel"],["ll","llLabel"]])
+  $(idIn).addEventListener("input",()=>{$(idLab).textContent=$(idIn).value;});
+ async function api(url){
+  linfo.textContent="computing…"; const t0=performance.now();
+  const r=await fetch(url); const j=await r.json();
+  linfo.textContent=`done in ${((performance.now()-t0)/1000).toFixed(2)} s`;
+  if(j.error){linfo.textContent=j.error; return null;}
+  return j;}
+ $("reKnn").onclick=async()=>{
+  const j=await api(`/api/knn?level=${LV}&k=${$("lk").value}`);
+  if(j){level().edges=j.edges;$("eopacity").value=Math.max(
+   parseFloat($("eopacity").value),0.4);draw();}};
+ $("reWalks").onclick=async()=>{
+  const j=await api(`/api/walks?level=${LV}&num=${$("lw").value}`+
+                    `&len=${$("ll").value}`);
+  if(j){level().walks=j.walks;$("overlay").value="walk";draw();}};
+}
 draw();
 </script></body></html>
 """
