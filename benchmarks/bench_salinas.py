@@ -113,13 +113,31 @@ def main():
         emb = ce.compute_tsne(pd, track_kl=True)
         tsne_s = time.perf_counter() - t1
         assert emb.shape[0] == levels[level]
+        # KL gate at level 1, pinned to the 28k-component independent
+        # anchor (docs/anchors_salinas.json, scripts/anchor_kl.py with
+        # ANCHOR_SCENE=salinas): tracked KL must stay within 1% of the
+        # sklearn-BH anchor — same methodology as bench.py's Pines gate
+        kl_anchor = None
+        kl_ok = None
+        if level == 1 and ce.last_kl is not None:
+            try:
+                apath = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "..",
+                    "docs", "anchors_salinas.json")
+                with open(apath) as f:
+                    kl_anchor = json.load(f)["kl_under_p_sklearn_bh"]
+                kl_ok = bool(ce.last_kl <= kl_anchor * 1.01)
+            except (OSError, KeyError, ValueError):
+                pass
         print(json.dumps({
             "metric": f"salinas_level{level}_tsne{tsne_iters}",
             "value": round(tsne_s, 2), "unit": "seconds",
             "detail": {"components": levels[level],
                        "iters_per_s": round(tsne_iters / tsne_s, 1),
                        "kl": None if ce.last_kl is None
-                       else round(ce.last_kl, 4)}}), flush=True)
+                       else round(ce.last_kl, 4),
+                       "kl_anchor_sklearn_bh": kl_anchor,
+                       "kl_within_anchor": kl_ok}}), flush=True)
 
     # per-level UMAP (reference eval also runs UMAP per level); level 1 is
     # the 28k-component rows-tier measurement (VERDICT r3 item 4), level 2

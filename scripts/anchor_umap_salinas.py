@@ -107,9 +107,8 @@ def main():
 
     # batched-epoch optimizer, identical memberships + init
     um = UmapComputation(UmapParameters(num_epochs=n_epochs, seed=123))
-    um.set_neighbor_matrix(m)
+    um.set_memberships(m)                # m is already the symmetric union
     um.set_initial_embedding(init)
-    um._memberships = lambda: m          # m is already the symmetric union
     t1 = time.perf_counter()
     um.compute()
     bat_s = time.perf_counter() - t1

@@ -354,6 +354,7 @@ class UmapComputation:
         self._graph = None
         self._n = 0
         self._embedding: Optional[np.ndarray] = None
+        self._preset_memberships: Optional[SparseRows] = None
         self._preset = False
         self._should_stop = False
         self.current_epoch = 0
@@ -376,6 +377,15 @@ class UmapComputation:
         self._n = indices.shape[0]
         self._preset = False
 
+    def set_memberships(self, m: SparseRows):
+        """Supply ALREADY-SYMMETRIZED fuzzy memberships directly, skipping
+        the fuzzy union (for callers that hold the final symmetric rows —
+        e.g. anchor harnesses feeding both optimizers identical inputs)."""
+        self._p = None
+        self._graph = None
+        self._preset_memberships = m
+        self._n = m.num_rows
+
     def set_initial_embedding(self, emb: np.ndarray):
         if emb.shape[0] != self._n:
             Log.warn("UmapComputation: initial embedding wrong size, "
@@ -390,6 +400,8 @@ class UmapComputation:
     # ------------------------------------------------------------------
 
     def _memberships(self) -> SparseRows:
+        if getattr(self, "_preset_memberships", None) is not None:
+            return self._preset_memberships
         if self._p is not None:
             # fuzzy union (reference: combine_neighbor_sets with mix 0.5 ->
             # umappp applies the fuzzy set union)

@@ -744,9 +744,17 @@ def pairwise_similarities(sr: SparseRows, k: int,
     if component_sizes is not None:
         scale[:n] = np.sqrt(component_sizes.astype(np.float32))
 
+    # bucket the top-k width: the raw per-level k (min(k, n-1)) compiled
+    # this kernel once per level at the SAME input shape.  The kernel's
+    # streaming bottom-kk is sorted ascending, so slicing its first k
+    # columns afterwards returns the exact bottom-k.
+    from .bucketing import bucket_k
+    kk = min(bucket_k(k), npad)
     top_i, top_d = _pairwise_sim_device(
         idx_d, val_d, jnp.asarray(scale),
-        jnp.int32(n), k, block_eff, float(prune_val))
+        jnp.int32(n), kk, block_eff, float(prune_val))
+    if kk != k:
+        top_i, top_d = _slice_pair_dev(top_i, top_d, top_i.shape[0], k)
 
     # drop +inf (fewer than k similar rows), sort by column index, normalize
     # — all on device; the result feeds device gaussian rows / symmetrize
@@ -949,7 +957,14 @@ def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
     if wrev_env <= 0:  # 0 disables the bound, like the sibling cap knobs
         wrev_env = 1 << 30
     wrev_max = min(wrev_env, next_pow2(nb))
-    wrev = max(min(next_pow2(max(2 * wb, 64)), wrev_max), 1)
+    # start at the cap when the reverse buffer is small: every doubling
+    # retry recompiles the kernel with a new static width (observed 3
+    # same-input-shape compiles at Pines level 1); overshooting wrev on
+    # small inputs costs a little VPU work and zero extra programs
+    if nb * wrev_max <= (1 << 26):
+        wrev = wrev_max
+    else:
+        wrev = max(min(next_pow2(max(2 * wb, 64)), wrev_max), 1)
     while True:
         with phase(f"sym.kernel.w{wrev}"):
             oi, ov, counts, rev_lost = _symmetrize_p_dev(idx_d, val_d,
