@@ -628,15 +628,22 @@ def _bhattacharyya_pairs_device(indices, values, rows_a, rows_b):
     return jnp.sum(jnp.maximum(prod, 0.0), axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block"))
+@functools.partial(jax.jit, static_argnames=("k", "block", "sorted_scatter"))
 def _pairwise_sim_device(indices, values, row_scale, n_valid, k: int,
-                         block: int, prune_val: float):
+                         block: int, prune_val: float,
+                         sorted_scatter: bool = False):
     """Blocked dense sqrt(A) * sqrt(A)^T with streaming per-row bottom-k of
     -log(BC).  indices/values: [Np, R] padded rows; row_scale: [Np]
     multiplicative row weights (sqrt of component size or 1).
 
     Returns (top_idx [Np, k], top_dist [Np, k]) sorted ascending by distance.
     MXU path: each [block, C] x [C, block] tile is one f32 matmul.
+
+    sorted_scatter: emit the densify scatter with indices_are_sorted +
+    an off-grid pad column (rows are ascending-column by construction) —
+    the scatter is the kernel's dominant cost at scale (per-element
+    minor-axis updates), and the sortedness hint lets XLA lower it
+    without the general serialization.
     """
     npad, r = indices.shape
     c = npad  # square matrix: columns == rows domain (padded)
@@ -648,8 +655,19 @@ def _pairwise_sim_device(indices, values, row_scale, n_valid, k: int,
         val = jax.lax.dynamic_slice_in_dim(values, b * block, block)
         scale = jax.lax.dynamic_slice_in_dim(row_scale, b * block, block)
         sq = jnp.sqrt(jnp.maximum(val, 0.0)) * scale[:, None]
-        dense = jnp.zeros((block, c), jnp.float32)
         rows = jax.lax.broadcasted_iota(jnp.int32, (block, r), 0)
+        if sorted_scatter:
+            # pads route off-grid (column c, dropped): per-row indices
+            # stay ascending AND unique, so the hint is sound
+            # pads all share column c, so `unique_indices` would be a lie
+            # (UB); non-decreasing order still holds for the sorted hint
+            safe_idx = jnp.where(idx < 0, c, idx)
+            dense = jnp.zeros((block, c + 1), jnp.float32)
+            dense = dense.at[rows, safe_idx].add(
+                jnp.where(idx < 0, 0.0, sq),
+                indices_are_sorted=True)
+            return dense[:, :c]
+        dense = jnp.zeros((block, c), jnp.float32)
         safe_idx = jnp.where(idx < 0, 0, idx)
         sq = jnp.where(idx < 0, 0.0, sq)
         return dense.at[rows, safe_idx].add(sq)
@@ -750,9 +768,21 @@ def pairwise_similarities(sr: SparseRows, k: int,
     # columns afterwards returns the exact bottom-k.
     from .bucketing import bucket_k
     kk = min(bucket_k(k), npad)
+    # perf knobs, A/B-able without code changes (see docs/performance.md
+    # round-5 ls.probdist section): bigger blocks cut the number of
+    # densify scatters quadratically; the sorted-scatter hint changes how
+    # XLA lowers them
+    block_eff = min(int(os.environ.get("SPH_PAIRWISE_BLOCK", block_eff)),
+                    npad)
+    npad2 = ceil_to(npad, block_eff)
+    if npad2 != npad:
+        idx_d, val_d = _pad_pair_dev(idx_d, val_d, npad2, wpad)
+        scale = np.pad(scale, (0, npad2 - npad))
+        npad = npad2
+    sorted_scatter = os.environ.get("SPH_PAIRWISE_SORTED_SCATTER") == "1"
     top_i, top_d = _pairwise_sim_device(
         idx_d, val_d, jnp.asarray(scale),
-        jnp.int32(n), kk, block_eff, float(prune_val))
+        jnp.int32(n), kk, block_eff, float(prune_val), sorted_scatter)
     if kk != k:
         top_i, top_d = _slice_pair_dev(top_i, top_d, top_i.shape[0], k)
 
