@@ -114,10 +114,14 @@ def _walks_knn(indices: jax.Array, values: jax.Array, n_valid, k: int,
         v = jnp.where(idx < 0, 0.0, val)
         if sqrt_vals:
             v = jnp.sqrt(jnp.maximum(v, 0.0))
-        dense = jnp.zeros((block, cpad), jnp.float32)
+        # pads route to an off-grid column so per-row indices stay
+        # non-decreasing for the sorted-scatter lowering (the scatter is
+        # the tile's dominant cost; see pairwise_similarities)
         rr2 = jax.lax.broadcasted_iota(jnp.int32, (block, r), 0)
-        safe = jnp.where(idx < 0, 0, idx)
-        return dense.at[rr2, safe].add(v)
+        safe = jnp.where(idx < 0, cpad, idx)
+        dense = jnp.zeros((block, cpad + 1), jnp.float32)
+        dense = dense.at[rr2, safe].add(v, indices_are_sorted=True)
+        return dense[:, :cpad]
 
     if single:
         # sim = max(w[a, b], w[b, a]): blocked densify of both the row and
@@ -194,11 +198,18 @@ def _walks_knn(indices: jax.Array, values: jax.Array, n_valid, k: int,
 
 
 def knn_walks(walks: SparseRows, k: int, single_overlap: bool = False,
-              block: int = 256) -> Tuple[np.ndarray, np.ndarray]:
+              block: int = 2048) -> Tuple[np.ndarray, np.ndarray]:
     """dist = 1 - BC (NeighborWalksBhattacharyyaSpace) or 1 - max transition
     (NeighborWalksSingleOverlapSpace).  k and the row width are bucketed so
-    levels share compiled programs."""
+    levels share compiled programs.
+
+    block: row-tile size.  The per-tile densify scatter dominates at
+    scale and its total count falls quadratically with block (measured
+    6.3x on the sibling pairwise kernel at 28k rows; docs/performance.md
+    round-5); override with SPH_WALKS_KNN_BLOCK."""
+    import os
     from .bucketing import bucket_k, bucket_rows, bucket_width
+    block = int(os.environ.get("SPH_WALKS_KNN_BLOCK", block))
     c = walks.num_rows
     # canonical shapes: row bucket (512 floor) + one k bucket independent
     # of the level's component count, so the shrinking level loop shares

@@ -710,7 +710,7 @@ def _pairwise_sim_device(indices, values, row_scale, n_valid, k: int,
 def pairwise_similarities(sr: SparseRows, k: int,
                           prune_val: float = 1e-4,
                           component_sizes: Optional[np.ndarray] = None,
-                          block: int = 512) -> SparseRows:
+                          block: int = 4096) -> SparseRows:
     """All-pairs Bhattacharyya distances with per-row bottom-k (reference:
     createSimilarities, SparseMatrixAlgorithms.cpp:963-995 — blocked
     sqrt(A)*sqrt(A)^T, prune, -log, keep the k smallest distances per row,
@@ -779,7 +779,8 @@ def pairwise_similarities(sr: SparseRows, k: int,
         idx_d, val_d = _pad_pair_dev(idx_d, val_d, npad2, wpad)
         scale = np.pad(scale, (0, npad2 - npad))
         npad = npad2
-    sorted_scatter = os.environ.get("SPH_PAIRWISE_SORTED_SCATTER") == "1"
+    sorted_scatter = os.environ.get("SPH_PAIRWISE_SORTED_SCATTER",
+                                    "1") == "1"
     top_i, top_d = _pairwise_sim_device(
         idx_d, val_d, jnp.asarray(scale),
         jnp.int32(n), kk, block_eff, float(prune_val), sorted_scatter)
