@@ -34,6 +34,13 @@ from .ops.sparse import SparseRows
 
 __version__ = "0.1.0"
 
+# opt-in compile-signature recording for the parallel AOT warmup
+# (utils/warmup.py): active only when SPH_WARMUP_RECORD is set
+import os as _os
+if _os.environ.get("SPH_WARMUP_RECORD"):
+    from .utils.warmup import maybe_enable_from_env as _warmup_rec
+    _warmup_rec()
+
 __all__ = [
     "ImageStack", "scale",
     "ComputeHierarchy", "ComputeEmbedding", "ComputeEmbeddingSettings",
