@@ -289,6 +289,17 @@ class LevelSimilarities:
         # stats need doubles as the width-shrink probe — one round trip
         pd = drop_zero_entries(pd, shrink=False)
         nnz = pd.row_nnz()
+        # empty probability rows mean an upstream kernel silently produced
+        # zeros (a TPU-lowering bug class invisible to CPU CI — e.g. the
+        # round-5 sorted-scatter densify); fail loudly here, at the stage
+        # boundary, instead of as KL=0 embeddings downstream
+        # (tiny levels CAN legitimately zero out — e.g. two components
+        # whose walk rows share no support after pruning)
+        if c > 32 and nnz.size and int(nnz.max()) == 0:
+            raise RuntimeError(
+                f"LevelSimilarities: level {level} probability rows are "
+                f"all-zero ({c} components) — upstream kernel produced an "
+                "empty distribution")
         from ..ops.sparse import shrink_width
         pd = shrink_width(pd, int(nnz.max()) if nnz.size else 1)
         self.prob_dists[level] = pd

@@ -114,13 +114,16 @@ def _walks_knn(indices: jax.Array, values: jax.Array, n_valid, k: int,
         v = jnp.where(idx < 0, 0.0, val)
         if sqrt_vals:
             v = jnp.sqrt(jnp.maximum(v, 0.0))
-        # pads route to an off-grid column so per-row indices stay
-        # non-decreasing for the sorted-scatter lowering (the scatter is
-        # the tile's dominant cost; see pairwise_similarities)
+        # pads route to strictly-increasing off-grid columns (cpad + lane)
+        # so per-row indices are truly sorted AND unique for the scatter
+        # lowering — a shared pad column breaks it on TPU (zeros; see
+        # pairwise_similarities densify)
         rr2 = jax.lax.broadcasted_iota(jnp.int32, (block, r), 0)
-        safe = jnp.where(idx < 0, cpad, idx)
-        dense = jnp.zeros((block, cpad + 1), jnp.float32)
-        dense = dense.at[rr2, safe].add(v, indices_are_sorted=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (block, r), 1)
+        safe = jnp.where(idx < 0, cpad + lane, idx)
+        dense = jnp.zeros((block, cpad + r), jnp.float32)
+        dense = dense.at[rr2, safe].add(v, indices_are_sorted=True,
+                                        unique_indices=True)
         return dense[:, :cpad]
 
     if single:

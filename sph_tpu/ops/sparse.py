@@ -657,15 +657,17 @@ def _pairwise_sim_device(indices, values, row_scale, n_valid, k: int,
         sq = jnp.sqrt(jnp.maximum(val, 0.0)) * scale[:, None]
         rows = jax.lax.broadcasted_iota(jnp.int32, (block, r), 0)
         if sorted_scatter:
-            # pads route off-grid (column c, dropped): per-row indices
-            # stay ascending AND unique, so the hint is sound
-            # pads all share column c, so `unique_indices` would be a lie
-            # (UB); non-decreasing order still holds for the sorted hint
-            safe_idx = jnp.where(idx < 0, c, idx)
-            dense = jnp.zeros((block, c + 1), jnp.float32)
+            # pads route to strictly-increasing off-grid columns (c+lane)
+            # so the per-row index sequence is truly sorted AND unique —
+            # a merely non-decreasing sequence (all pads sharing column
+            # c) broke the TPU lowering: the scatter silently produced
+            # zeros (observed as an empty Salinas level-2 P)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (block, r), 1)
+            safe_idx = jnp.where(idx < 0, c + lane, idx)
+            dense = jnp.zeros((block, c + r), jnp.float32)
             dense = dense.at[rows, safe_idx].add(
                 jnp.where(idx < 0, 0.0, sq),
-                indices_are_sorted=True)
+                indices_are_sorted=True, unique_indices=True)
             return dense[:, :c]
         dense = jnp.zeros((block, c), jnp.float32)
         safe_idx = jnp.where(idx < 0, 0, idx)
