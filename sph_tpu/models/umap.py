@@ -199,10 +199,11 @@ def _unpack_positions(g, prm):
 
 
 @functools.partial(jax.jit, static_argnames=("neg_rate", "epochs",
-                                             "packed"))
+                                             "packed", "neg_budget"))
 def _run_epochs_rows(y, nbr, eps, next_sample, epoch0, limit,
                      n_epochs_total, initial_alpha, a, b, key, n_valid,
-                     neg_rate: int, epochs: int, packed: bool = True):
+                     neg_rate: int, epochs: int, packed: bool = True,
+                     neg_budget: int = 0):
     """Scatter-free padded-row epochs (tier 2).
 
     nbr: [N, W] neighbor ids (-1 pad); eps: [N, W] epochs-per-sample
@@ -213,6 +214,17 @@ def _run_epochs_rows(y, nbr, eps, next_sample, epoch0, limit,
     Negative samples are drawn per active edge slot (neg_rate per slot,
     matching umap-learn's per-edge loop) and applied to the row itself,
     from the post-attraction positions like the edge kernel.
+
+    neg_budget > 0 replaces the per-slot draws with a BUDGETED sampled
+    expectation: `neg_budget` uniform negatives per row, their mean
+    clipped-repulsion scaled by the row's true draw count (active slots x
+    neg_rate).  Same estimator as umap-learn's per-edge sampling — the
+    per-draw expectation is identical, only the Monte-Carlo sample count
+    differs — but the dominant [N, W*neg_rate] gather+pow cost drops to
+    [N, neg_budget] (W is the PADDED hub width; most rows have far fewer
+    active edges, so per-slot draws mostly sample masked zeros).
+    Validated against the sequential per-edge oracle by the 28k-component
+    anchor (scripts/anchor_umap_salinas.py).
 
     Epochs >= `limit` are masked no-ops, so callers always dispatch
     fixed-length scans — one compiled executable per (N, W) bucket.
@@ -250,7 +262,8 @@ def _run_epochs_rows(y, nbr, eps, next_sample, epoch0, limit,
         y0m = y0 + alpha * att0
         y1m = y1 + alpha * att1
 
-        negs = jax.random.randint(ekey, (n, w * neg_rate), 0, n_valid)
+        nw = neg_budget if neg_budget > 0 else w * neg_rate
+        negs = jax.random.randint(ekey, (n, nw), 0, n_valid)
         if packed:
             tbl_m, prm_m = _pack_positions(y0m, y1m)
             g0, g1 = _unpack_positions(tbl_m[negs], prm_m)
@@ -265,10 +278,19 @@ def _run_epochs_rows(y, nbr, eps, next_sample, epoch0, limit,
         r0 = jnp.where(pos, jnp.clip(gcn * e0, -4.0, 4.0), 4.0)
         r1 = jnp.where(pos, jnp.clip(gcn * e1, -4.0, 4.0), 4.0)
         rows = jax.lax.broadcasted_iota(jnp.int32, negs.shape, 0)
-        nmask = (jnp.repeat(active, neg_rate, axis=1)
-                 & (negs != rows))
-        rep0 = jnp.sum(jnp.where(nmask, r0, 0.0), axis=1)
-        rep1 = jnp.sum(jnp.where(nmask, r1, 0.0), axis=1)
+        if neg_budget > 0:
+            # self draws contribute zero but consume a draw (umap-learn
+            # semantics), so the mean keeps them as zeros
+            notself = negs != rows
+            cnt = jnp.sum(active, axis=1).astype(jnp.float32) * neg_rate
+            scale = cnt / jnp.float32(nw)
+            rep0 = scale * jnp.sum(jnp.where(notself, r0, 0.0), axis=1)
+            rep1 = scale * jnp.sum(jnp.where(notself, r1, 0.0), axis=1)
+        else:
+            nmask = (jnp.repeat(active, neg_rate, axis=1)
+                     & (negs != rows))
+            rep0 = jnp.sum(jnp.where(nmask, r0, 0.0), axis=1)
+            rep1 = jnp.sum(jnp.where(nmask, r1, 0.0), axis=1)
         y = jnp.stack([y0m + alpha * rep0, y1m + alpha * rep1], axis=1)
         next_sample = jnp.where(active & live, next_sample + eps,
                                 next_sample)
@@ -553,11 +575,20 @@ class UmapComputation:
                     self._n_dev,
                     self.params.negative_sample_rate, step)
             elif self._tier == "rows":
+                # budgeted negative sampling: per-slot draws cost
+                # [N, W*neg_rate] gathers+pows where W is the padded hub
+                # width; a 64-draw sampled expectation per row is the
+                # same estimator at a fraction of the cost (see
+                # _run_epochs_rows).  0 restores per-slot draws.
+                budget = int(os.environ.get("SPH_UMAP_NEG_BUDGET", "64"))
+                w_pad = self._nbr.shape[1]
+                if budget >= w_pad * self.params.negative_sample_rate:
+                    budget = 0
                 self._y, self._next_sample = _run_epochs_rows(
                     self._y, self._nbr, self._eps, self._next_sample,
                     *common, self._key, self._n_dev,
                     self.params.negative_sample_rate, step,
-                    packed=packed)
+                    packed=packed, neg_budget=budget)
             else:
                 self._y, self._next_sample = _run_epochs_scan(
                     self._y, self._src, self._dst, self._eps,
