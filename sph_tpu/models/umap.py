@@ -498,11 +498,35 @@ class UmapComputation:
             self._eps = jnp.asarray(epsd)
             self._next_sample = jnp.asarray(epsd)
         elif self._tier == "rows":
-            wpad = next_pow2(m_idx.shape[1], lo=8)
+            # hub-width cap: the attraction pass costs [N, W] gathers+pows
+            # per epoch with W the PADDED hub width (observed 1056 at
+            # Salinas level 1 against mean nnz 54).  Keep each row's top
+            # `cap` edges by membership: the shed tail has the LARGEST
+            # epochs_per_sample (faintest memberships, hence least-often
+            # sampled edges), the same principled truncation as the
+            # t-SNE attraction width cap (SPH_TSNE_GRID_P_WIDTH).
+            cap = int(os.environ.get("SPH_UMAP_ROWS_WIDTH", "128"))
+            m_idx_r, m_val_r, mask_r = m_idx, m_val, mask
+            if 0 < cap < m_idx.shape[1]:
+                vals = np.where(mask, m_val, -np.inf)
+                order = np.argsort(-vals, axis=1, kind="stable")[:, :cap]
+                rr = np.arange(m_idx.shape[0])[:, None]
+                m_idx_r = np.where(np.isfinite(vals[rr, order]),
+                                   m_idx[rr, order], -1)
+                m_val_r = np.where(m_idx_r >= 0, m_val[rr, order], 0.0)
+                mask_r = m_idx_r >= 0
+                kept = float(m_val_r.sum()) / max(float(
+                    np.where(mask, m_val, 0.0).sum()), 1e-30)
+                Log.info("UMAP rows tier: width cap %d -> %d keeps %.2f%% "
+                         "of membership mass", m_idx.shape[1], cap,
+                         100.0 * kept)
+                eps_flat = make_epochs_per_sample(
+                    m_val_r[mask_r], self._n_epochs).astype(np.float32)
+            wpad = next_pow2(m_idx_r.shape[1], lo=8)
             eps_rows = np.full((self._npad, wpad), np.inf, np.float32)
-            eps_rows[:self._n, :m_idx.shape[1]][mask] = eps_flat
+            eps_rows[:self._n, :m_idx_r.shape[1]][mask_r] = eps_flat
             nbr = np.full((self._npad, wpad), -1, np.int32)
-            nbr[:self._n, :m_idx.shape[1]] = np.where(mask, m_idx, -1)
+            nbr[:self._n, :m_idx_r.shape[1]] = np.where(mask_r, m_idx_r, -1)
             self._nbr = jnp.asarray(nbr)
             self._eps = jnp.asarray(eps_rows)
             self._next_sample = jnp.asarray(eps_rows)
