@@ -815,7 +815,7 @@ def knn_ivf(data: np.ndarray, k: int,
         # ADC alone misranks within-cluster near-ties (16-byte codes can't
         # separate true top-k neighbors whose gaps are below quantization
         # noise) — search a wider shortlist, then exact re-rank below
-        ksearch = min(max(int(os.environ.get("SPH_PQ_RERANK", "128")),
+        ksearch = min(max(int(os.environ.get("SPH_PQ_RERANK", "512")),
                           2 * k), seg * max_psegs)
 
         def _score(qt_w, ps_w):
