@@ -160,7 +160,7 @@ def _truly_cold_child():
             and os.environ.get("BENCH_NO_WARMUP") != "1"):
         from sph_tpu.utils.warmup import replay
         warmup_stats = replay(manifest, threads=int(
-            os.environ.get("BENCH_WARMUP_THREADS", "8")))
+            os.environ.get("BENCH_WARMUP_THREADS", "12")))
     with count_compiles() as cc:
         ch, _build = _run_pipeline()
         h = ch.image_hierarchy.hierarchy

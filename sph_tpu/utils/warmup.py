@@ -153,8 +153,14 @@ def _import_all():
               "sph_tpu.ops.device_merge", "sph_tpu.ops.component_knn",
               "sph_tpu.ops.similarities", "sph_tpu.ops.graph",
               "sph_tpu.ops.shortest_path", "sph_tpu.ops.geo_sketch",
-              "sph_tpu.ops.tsne_grid", "sph_tpu.models.tsne",
-              "sph_tpu.models.umap", "sph_tpu.models.nearest_neighbors"):
+              "sph_tpu.ops.tsne_grid", "sph_tpu.ops.csr",
+              "sph_tpu.ops.histogram", "sph_tpu.ops.math",
+              "sph_tpu.ops.pallas.tsne_kernels", "sph_tpu.models.tsne",
+              "sph_tpu.models.umap", "sph_tpu.models.nearest_neighbors",
+              "sph_tpu.models.hierarchy", "sph_tpu.models.image_hierarchy",
+              "sph_tpu.models.level_similarities",
+              "sph_tpu.models.compute_hierarchy",
+              "sph_tpu.models.compute_embedding"):
         try:
             importlib.import_module(m)
         except Exception as exc:  # noqa: BLE001
