@@ -152,18 +152,33 @@ def main():
 
 def _run_embeds(scene, rows, cols, channels, tsne_iters, p, levels, level,
                 n, hierarchy_s):
-    from sph_tpu import ComputeEmbedding, ComputeEmbeddingSettings
+    """ANCHOR_STAGE env: 'ours' runs only our optimizer (on TPU) and
+    caches the embedding; 'sklearn' loads that cache and runs only the
+    CPU Barnes-Hut side; unset runs both in one process.  The split lets
+    the slow single-core sklearn leg run off-TPU in the background."""
+    stage = os.environ.get("ANCHOR_STAGE", "")
+    emb_cache = f"/tmp/anchor_{scene}_ours_emb.npz"
 
     # ours
-    es = ComputeEmbeddingSettings()
-    es.tsne.num_iterations = tsne_iters
-    ce = ComputeEmbedding(es)
-    t1 = time.perf_counter()
-    emb_mine = ce.compute_tsne(p, track_kl=True)
-    tsne_s = time.perf_counter() - t1
-    kl_mine = kl_under_p(p, emb_mine)
-    print(f"# ours: {tsne_s:.1f}s kl_under_p={kl_mine:.4f} "
-          f"(tracked {ce.last_kl})", flush=True)
+    if stage == "sklearn" and os.path.exists(emb_cache):
+        z = np.load(emb_cache)
+        emb_mine, kl_mine, tsne_s = z["emb"], float(z["kl"]), float(z["s"])
+        print(f"# ours loaded from {emb_cache}: kl_under_p={kl_mine:.4f}",
+              flush=True)
+    else:
+        from sph_tpu import ComputeEmbedding, ComputeEmbeddingSettings
+        es = ComputeEmbeddingSettings()
+        es.tsne.num_iterations = tsne_iters
+        ce = ComputeEmbedding(es)
+        t1 = time.perf_counter()
+        emb_mine = ce.compute_tsne(p, track_kl=True)
+        tsne_s = time.perf_counter() - t1
+        kl_mine = kl_under_p(p, emb_mine)
+        print(f"# ours: {tsne_s:.1f}s kl_under_p={kl_mine:.4f} "
+              f"(tracked {ce.last_kl})", flush=True)
+        np.savez(emb_cache, emb=np.asarray(emb_mine), kl=kl_mine, s=tsne_s)
+        if stage == "ours":
+            return
 
     # sklearn Barnes-Hut on the same similarity structure: precomputed
     # distances d = -log(p_sym) on the support, large off-support
