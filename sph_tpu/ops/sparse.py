@@ -990,11 +990,13 @@ def _symmetrize_p_device_dispatch(sr: SparseRows, mode: str) -> SparseRows:
     if wrev_env <= 0:  # 0 disables the bound, like the sibling cap knobs
         wrev_env = 1 << 30
     wrev_max = min(wrev_env, next_pow2(nb))
-    # start at the cap when the reverse buffer is small: every doubling
-    # retry recompiles the kernel with a new static width (observed 3
-    # same-input-shape compiles at Pines level 1); overshooting wrev on
-    # small inputs costs a little VPU work and zero extra programs
-    if nb * wrev_max <= (1 << 26):
+    # start at the cap on SMALL buckets: every doubling retry recompiles
+    # the kernel with a new static width (observed 3 same-input-shape
+    # compiles at Pines level 1), and at <= 2048 rows the overshoot is
+    # free.  Large levels keep the narrow 2x-forward-width start — the
+    # kernel's lane sorts scale with r + wrev, and an always-at-cap
+    # start measurably slowed the warm Pines level-0/1 symmetrize.
+    if nb <= 2048 and nb * wrev_max <= (1 << 26):
         wrev = wrev_max
     else:
         wrev = max(min(next_pow2(max(2 * wb, 64)), wrev_max), 1)
