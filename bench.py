@@ -183,6 +183,11 @@ def _measure_truly_cold(timeout_s: float):
     import subprocess
     env = dict(os.environ, BENCH_STAGE="truly_cold_child",
                BENCH_RETRIED="1")
+    # recording must never leak into the child: it would clobber the
+    # manifest the child is about to replay (observed: truncated file ->
+    # serial compiles -> 824 s) and its per-call proxy overhead pollutes
+    # the measurement
+    env.pop("SPH_WARMUP_RECORD", None)
     try:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
