@@ -173,7 +173,10 @@ def _truly_cold_child():
     print(json.dumps({"truly_cold_s": round(wall, 3),
                       "programs": cc.total,
                       "persistent_hits": cc.persistent_hits,
-                      "warmup": warmup_stats}), flush=True)
+                      "warmup": warmup_stats,
+                      # what still compiled serially despite the manifest
+                      # (coverage target for future manifests)
+                      "residual_top": cc.top(12)}), flush=True)
 
 
 def _measure_truly_cold(timeout_s: float):
