@@ -180,6 +180,22 @@ def replay(path: str, threads: int = 8) -> dict:
         entries = json.load(f)["entries"]
     _import_all()
 
+    # largest-first: compile time loosely tracks program size, and a big
+    # program picked up LAST straggles alone at the end of the pool —
+    # schedule by total aval bytes so the long compiles start first
+    def _bytes(e):
+        total = 0
+        for s in list(e["args"]) + list(e["kwargs"].values()):
+            if "aval" in s:
+                shape, dtype, _ = s["aval"]
+                n = 1
+                for d in shape:
+                    n *= int(d)
+                total += n * np.dtype(dtype).itemsize
+        return total
+
+    entries = sorted(entries, key=_bytes, reverse=True)
+
     def one(e):
         try:
             mod = importlib.import_module(e["module"])
