@@ -40,6 +40,12 @@ import os as _os
 if _os.environ.get("SPH_WARMUP_RECORD"):
     from .utils.warmup import maybe_enable_from_env as _warmup_rec
     _warmup_rec()
+if _os.environ.get("SPH_WARMUP_REPLAY"):
+    # parallel AOT warmup on import (fresh-pod cold-start path): compile
+    # the manifest's program family across threads before first use
+    from .utils.warmup import replay as _warmup_replay
+    _warmup_replay(_os.environ["SPH_WARMUP_REPLAY"],
+                   threads=int(_os.environ.get("SPH_WARMUP_THREADS", "12")))
 
 __all__ = [
     "ImageStack", "scale",
