@@ -318,7 +318,7 @@ def main():
     # performance.md), so a single pass mostly measures host weather.
     # BENCH_TRACE=1 captures a jax.profiler trace of the first pass.
     import contextlib
-    passes = int(os.environ.get("BENCH_PASSES", "2"))
+    passes = int(os.environ.get("BENCH_PASSES", "3"))
     hierarchy_s = tsne_s = float("inf")
     for p in range(max(passes, 1)):
         trace_ctx = contextlib.nullcontext()
