@@ -378,8 +378,10 @@ def merge_by_parents_device(indices, values,
     nb = bucket_rows(max(8, n))
     parents_dev = np.ascontiguousarray(parents, np.int32)
     if nb != n:
-        idx_d = jnp.pad(idx_d, ((0, nb - n), (0, 0)), constant_values=-1)
-        val_d = jnp.pad(val_d, ((0, nb - n), (0, 0)))
+        # one fused jitted pad (two eager jnp.pads compiled and
+        # dispatched two tiny programs per level shape)
+        from .sparse import _pad_pair_dev
+        idx_d, val_d = _pad_pair_dev(idx_d, val_d, nb, idx_d.shape[1])
         parents_dev = np.pad(parents_dev, (0, nb - n))
 
     m_pad = max(512, _next_pow2(num_merged))

@@ -60,10 +60,8 @@ def walks_single_overlap_distance(walks: SparseRows, pairs_a: np.ndarray,
     wp = bucket_width(walks.width)
     rp = bucket_rows(max(8, walks.num_rows))
     if (rp, wp) != (idx.shape[0], idx.shape[1]):
-        idx = jnp.pad(idx, ((0, rp - idx.shape[0]), (0, wp - idx.shape[1])),
-                      constant_values=PAD)
-        val = jnp.pad(val, ((0, rp - val.shape[0]), (0, wp - val.shape[1])),
-                      constant_values=0.0)
+        from .sparse import _pad_pair_dev
+        idx, val = _pad_pair_dev(idx, val, rp, wp)
     pairs_a = np.asarray(pairs_a, np.int32)
     pairs_b = np.asarray(pairs_b, np.int32)
     if e == 0:
